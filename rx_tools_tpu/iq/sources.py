@@ -1,0 +1,297 @@
+"""Block sources — the framework's "device" layer.
+
+The reference's entire runtime init is SoapySDR device discovery by key/value
+query string, capability enumeration, and stream setup
+(``src/convenience/convenience.c:382-513``, SURVEY.md §3.4).  With no radio
+hardware attached to a TPU pod, the equivalent here is a *source registry*
+keyed by the same ``-d`` query-string convention:
+
+- ``-d file=<path>[,format=CS16][,rate=2.4M][,loop=1]`` — replay a capture.
+- ``-d stdin[,format=CU8]``                             — pipe from stdin.
+- ``-d synth=fm[,audio=1k][,dev=75k][,snr=...]``        — synthetic signals
+  (tones through FM/AM/USB/LSB modulators, noise, sweeps) for tests and
+  benchmarks.
+- ``""`` (empty, the reference default)                 — first available =
+  synthetic silence-with-noise.
+
+Every source yields fixed-size interleaved CS16 int16 blocks — the wire
+format rx_fm/rx_power request from SoapySDR (``src/rtl_fm.c:1395``,
+``src/rtl_power.c:975``) — via ``read_stream(n_elems)``, mirroring
+``SoapySDRDevice_readStream`` semantics (returns count actually read;
+negative codes for overflow, matching the "O"-marker tolerance idiom at
+``src/rtl_sdr.c:333-337``).  ``set_frequency`` retunes: for files it is a
+no-op, for synthesizers it moves the signal plan, so rx_power's hop loop
+exercises the same control path as against hardware.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from rx_tools_tpu.iq import formats
+from rx_tools_tpu.utils.logging import log
+from rx_tools_tpu.utils.units import atofs, parse_kwargs
+
+#: readStream soft error codes (SoapySDR convention)
+ERR_OVERFLOW = -4
+ERR_TIMEOUT = -1
+
+
+class Source:
+    """Abstract block source ("device")."""
+
+    #: nominal info for show_device_info analog
+    driver = "abstract"
+    hardware = "none"
+
+    def __init__(self):
+        self.sample_rate = 2_048_000.0
+        self.frequency = 100e6
+        self.frequency_correction = 0.0
+        self.bandwidth = 0.0
+        self.gains: dict[str, float] = {}
+        self.antenna = "RX"
+        self.settings: dict[str, str] = {}
+        self.channel = 0
+
+    # -- configuration (the verbose_* surface) ------------------------------
+    def set_sample_rate(self, rate: float) -> int:
+        self.sample_rate = float(rate)
+        return 0
+
+    def set_frequency(self, freq: float) -> int:
+        self.frequency = float(freq)
+        return 0
+
+    def get_frequency(self) -> float:
+        return self.frequency
+
+    def set_bandwidth(self, bw: float) -> int:
+        self.bandwidth = float(bw)
+        return 0
+
+    def set_gain(self, value: float) -> int:
+        self.gains["TOTAL"] = float(value)
+        return 0
+
+    def set_gain_element(self, name: str, value: float) -> int:
+        self.gains[name] = float(value)
+        return 0
+
+    def set_antenna(self, name: str) -> int:
+        self.antenna = name
+        return 0
+
+    def set_frequency_correction(self, ppm: float) -> int:
+        self.frequency_correction = float(ppm)
+        return 0
+
+    def write_setting(self, key: str, value: str) -> int:
+        self.settings[key] = value
+        return 0
+
+    def read_setting(self, key: str) -> str | None:
+        return self.settings.get(key)
+
+    # -- streaming -----------------------------------------------------------
+    def activate(self) -> None:
+        pass
+
+    def deactivate(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def read_stream(self, n_elems: int) -> tuple[int, np.ndarray]:
+        """Read up to ``n_elems`` complex samples.
+
+        Returns ``(count, buf)`` where ``buf`` is interleaved int16 of length
+        ``2*count`` (CS16).  ``count`` <= 0 signals EOF (0) or a soft error
+        (negative, e.g. :data:`ERR_OVERFLOW`).
+        """
+        raise NotImplementedError
+
+    # -- enumeration (show_device_info analog, convenience.c:382-445) --------
+    def info(self) -> dict:
+        return {
+            "driver": self.driver,
+            "hardware": self.hardware,
+            "antennas": [self.antenna],
+            "gains": sorted(self.gains) or ["TOTAL"],
+            "frequency_range": (0.0, 6e9),
+            "sample_rates": [250e3, 1.024e6, 2.048e6, 2.4e6, 2.8e6, 3.2e6],
+        }
+
+
+@dataclass
+class _FileParams:
+    path: str
+    format: str = "CS16"
+    rate: float = 2_048_000.0
+    loop: bool = False
+
+
+class FileSource(Source):
+    """Replay an I/Q capture file (any wire format) as a CS16 stream."""
+
+    driver = "file"
+
+    def __init__(self, params: _FileParams):
+        super().__init__()
+        self.p = params
+        self.sample_rate = params.rate
+        self.hardware = os.path.basename(params.path)
+        self._f = open(params.path, "rb") if params.path != "-" else sys.stdin.buffer
+        self._fmt = formats.parse_fmt(params.format)
+        self._pending = b""
+
+    def read_stream(self, n_elems: int) -> tuple[int, np.ndarray]:
+        need = n_elems * formats.ELEM_BYTES[self._fmt]
+        buf = self._pending
+        while len(buf) < need:
+            chunk = self._f.read(need - len(buf))
+            if not chunk:
+                if self.p.loop and self._f is not sys.stdin.buffer:
+                    self._f.seek(0)
+                    continue
+                break
+            buf += chunk
+        # trim to whole elements
+        elem = formats.ELEM_BYTES[self._fmt]
+        n = len(buf) // elem
+        self._pending = buf[n * elem:]
+        if n == 0:
+            return 0, np.empty(0, np.int16)
+        raw = formats.bytes_to_array(buf[: n * elem], self._fmt)
+        cs16 = formats.convert(raw, self._fmt, "CS16")
+        return n, np.asarray(cs16, dtype=np.int16)
+
+    def close(self) -> None:
+        if self._f is not sys.stdin.buffer:
+            self._f.close()
+
+
+class SynthSource(Source):
+    """Synthetic signal generator ("driver=synth").
+
+    Generates a configurable scene of emitters; retuning shifts which emitters
+    fall in-band, so frequency-hop logic (rx_fm scanning, rx_power sweeps) is
+    exercised exactly as against hardware.  Deterministic given ``seed``.
+
+    kwargs:
+      ``synth=fm|am|usb|lsb|tone|noise|silence`` — modulation of the emitter(s)
+      ``carrier=<freq>``  — emitter RF frequency (default: initial tune freq)
+      ``audio=<freq>``    — baseband tone frequency (default 1 kHz)
+      ``dev=<freq>``      — FM deviation (default 75k wideband)
+      ``amp=<0..1>``      — emitter amplitude relative to full scale (0.5)
+      ``noise=<0..1>``    — AWGN sigma relative to full scale (0.001)
+      ``seed=<int>``
+    """
+
+    driver = "synth"
+    hardware = "synthetic scene"
+
+    def __init__(self, kwargs: dict[str, str]):
+        super().__init__()
+        self.kind = kwargs.get("synth", "tone") or "tone"
+        self.carrier = atofs(kwargs["carrier"]) if "carrier" in kwargs else None
+        self.audio = atofs(kwargs.get("audio", "1k"))
+        self.deviation = atofs(kwargs.get("dev", "75k"))
+        self.amp = float(kwargs.get("amp", "0.5"))
+        self.noise = float(kwargs.get("noise", "0.001"))
+        self.seed = int(kwargs.get("seed", "0"))
+        self._rng = np.random.default_rng(self.seed)
+        self._phase = 0.0       # carrier NCO phase (radians)
+        self._mod_phase = 0.0   # audio/modulation phase
+        self._n = 0             # absolute sample counter
+
+    def set_frequency(self, freq: float) -> int:
+        super().set_frequency(freq)
+        if self.carrier is None:
+            self.carrier = float(freq)
+        return 0
+
+    def _baseband(self, n: int, fs: float) -> np.ndarray:
+        """Complex baseband of the emitter at offset (carrier - tuned freq)."""
+        t = (self._n + np.arange(n)) / fs
+        carrier = self.carrier if self.carrier is not None else self.frequency
+        offset = carrier - self.frequency
+        audio = np.sin(2 * math.pi * self.audio * t + self._mod_phase)
+        if self.kind in ("silence",):
+            sig = np.zeros(n, np.complex128)
+        elif self.kind == "noise":
+            sig = (self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n)) * 0.5
+        elif self.kind == "tone":
+            sig = np.ones(n, np.complex128)
+        elif self.kind == "fm":
+            # integrate deviation * audio for the instantaneous phase
+            dphi = 2 * math.pi * self.deviation * audio / fs
+            sig = np.exp(1j * (self._phase + np.cumsum(dphi)))
+            self._phase = float((self._phase + dphi.sum()) % (2 * math.pi))
+        elif self.kind == "am":
+            sig = (1.0 + 0.8 * audio).astype(np.complex128)
+        elif self.kind in ("usb", "lsb"):
+            sign = 1.0 if self.kind == "usb" else -1.0
+            sig = np.exp(sign * 2j * math.pi * self.audio * t)
+        else:
+            raise ValueError(f"unknown synth kind: {self.kind}")
+        mix = np.exp(2j * math.pi * offset * t)
+        out = self.amp * sig * mix
+        if self.noise:
+            out = out + self.noise * (
+                self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n))
+        self._mod_phase = float((self._mod_phase) % (2 * math.pi))
+        return out
+
+    def read_stream(self, n_elems: int) -> tuple[int, np.ndarray]:
+        fs = self.sample_rate
+        z = self._baseband(n_elems, fs)
+        self._n += n_elems
+        iq = np.empty(2 * n_elems, np.int16)
+        scaled = np.clip(np.round(np.real(z) * 32767), -32768, 32767)
+        iq[0::2] = scaled.astype(np.int16)
+        scaled = np.clip(np.round(np.imag(z) * 32767), -32768, 32767)
+        iq[1::2] = scaled.astype(np.int16)
+        return n_elems, iq
+
+
+def make_source(query: str | dict) -> Source:
+    """``verbose_device_search`` analog (convenience.c:469-489).
+
+    Accepts the ``-d`` query string (``key=val,...``) or a pre-parsed dict.
+    """
+    kw = parse_kwargs(query) if isinstance(query, str) else dict(query)
+    if "file" in kw:
+        p = _FileParams(
+            path=kw["file"],
+            format=kw.get("format", "CS16"),
+            rate=atofs(kw.get("rate", "2048k")),
+            loop=kw.get("loop", "0") not in ("0", "", "false"),
+        )
+        return FileSource(p)
+    if "stdin" in kw:
+        p = _FileParams(path="-", format=kw.get("format", "CU8"))
+        return FileSource(p)
+    if "synth" in kw or kw.get("driver") == "synth":
+        return SynthSource(kw)
+    # reference default: empty query = first available device
+    return SynthSource({"synth": "noise", **kw})
+
+
+def show_device_info(src: Source) -> None:
+    """stderr capability dump, mirroring convenience.c:382-445."""
+    info = src.info()
+    log("Using device %s: %s", info["driver"], info["hardware"])
+    log("Found %d channel(s) :", 1)
+    log("Antennas: %s", ", ".join(info["antennas"]))
+    log("Gains: %s", ", ".join(info["gains"]))
+    log("Frequency range: %.6f MHz - %.6f MHz",
+        info["frequency_range"][0] / 1e6, info["frequency_range"][1] / 1e6)
+    log("Sample rates: %s MS/s",
+        ", ".join("%g" % (r / 1e6) for r in info["sample_rates"]))

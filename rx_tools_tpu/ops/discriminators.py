@@ -1,0 +1,101 @@
+"""FM discriminators (quadrature demodulation).
+
+The reference offers four per-sample discriminators selected by ``-A``
+(``fm_demod`` dispatch, ``src/rtl_fm.c:584-615``); all compute the angle of
+``s[n] * conj(s[n-1])`` in units where pi == ``1<<14``, using the literal
+3.14159 (not M_PI) as the scale divisor (``src/rtl_fm.c:482``) — that literal
+is preserved here for output parity.
+
+- ``std``  — true atan2 (``polar_discriminant``, ``rtl_fm.c:476-483``)
+- ``fast`` — octant linear-blend approximation (``fast_atan2``,
+  ``rtl_fm.c:485-506``), reproduced in float arithmetic
+- ``lut``  — the reference's 512 KB atan LUT (``rtl_fm.c:515-564``); on TPU a
+  transcendental is cheaper than a gather, so this maps to ``std`` (the LUT
+  is itself a quantized atan; accuracy class is identical)
+- ``ale``  — the atan-free Esbensen discriminator (``rtl_fm.c:566-582``)
+
+Block-vectorized: the per-sample C loop becomes one fused elementwise pass
+over the block; ``prev`` (the reference's ``pre_r/pre_j``) is the one-sample
+carried state.  Quirk kept: sample 0 of every block uses the *std* atan2
+regardless of mode — exactly what ``fm_demod`` does for the seam sample
+(``rtl_fm.c:588-590``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+DISC_STD, DISC_FAST, DISC_LUT, DISC_ALE = 0, 1, 2, 3
+_NAMES = {"std": DISC_STD, "fast": DISC_FAST, "lut": DISC_LUT, "ale": DISC_ALE}
+
+_PI_REF = np.float32(3.14159)       # the reference's scale constant
+_SCALE = np.float32(1 << 14)
+
+
+def disc_mode(name: str) -> int:
+    return _NAMES[name]
+
+
+def polar_discriminant(cr, cj):
+    """angle(c) scaled so pi -> 1<<14, via true atan2."""
+    return jnp.arctan2(cj, cr) / _PI_REF * _SCALE
+
+
+def fast_atan2(y, x):
+    """Float port of the integer octant approximation (rtl_fm.c:485-506).
+
+    pi4 = 1<<12, pi34 = 3<<12; linear blend on (x-|y|)/(x+|y|).
+    """
+    pi4 = np.float32(1 << 12)
+    pi34 = np.float32(3 * (1 << 12))
+    yabs = jnp.abs(y)
+    pos = pi4 - pi4 * (x - yabs) / (x + yabs)
+    neg = pi34 - pi4 * (x + yabs) / (yabs - x)
+    angle = jnp.where(x >= 0, pos, neg)
+    angle = jnp.where((x == 0) & (y == 0), 0.0, angle)
+    return jnp.where(y < 0, -angle, angle)
+
+
+def polar_disc_fast(cr, cj):
+    return fast_atan2(cj, cr)
+
+
+def esbensen_disc(ar, aj, br, bj):
+    """Atan-free: ``imag(ds * conj(s)) / |s|^2`` (rtl_fm.c:566-582).
+
+    ``(ar,aj)`` = current sample, ``(br,bj)`` = previous (note: the
+    reference's +1 in the denominator guards integer div-by-zero; kept for
+    value parity).
+    """
+    scaled_pi = np.float32(2608.0)   # (1<<14) / (2*pi), reference constant
+    dr = (br - ar) * 2.0
+    dj = (bj - aj) * 2.0
+    cj = bj * dr - br * dj
+    return scaled_pi * cj / (ar * ar + aj * aj + 1.0)
+
+
+def fm_discriminate(prev, x, mode: int):
+    """Vectorized FM discriminator over a block.
+
+    ``prev``: (2,) previous complex sample (carried).  ``x``: (N, 2).
+    Returns ``(new_prev, d)`` with ``d`` shape (N,) in pi==1<<14 units.
+    """
+    xs = jnp.concatenate([prev[None, :], x], axis=0)   # (N+1, 2)
+    ar, aj = x[:, 0], x[:, 1]
+    br, bj = xs[:-1, 0], xs[:-1, 1]
+    # c = a * conj(b)
+    cr = ar * br + aj * bj
+    cj = aj * br - ar * bj
+    if mode in (DISC_STD, DISC_LUT):
+        d = polar_discriminant(cr, cj)
+    elif mode == DISC_FAST:
+        d = polar_disc_fast(cr, cj)
+        # seam sample matches the reference: always std atan2
+        d = d.at[0].set(polar_discriminant(cr[0], cj[0]))
+    elif mode == DISC_ALE:
+        d = esbensen_disc(ar, aj, br, bj)
+        d = d.at[0].set(polar_discriminant(cr[0], cj[0]))
+    else:
+        raise ValueError(f"bad discriminator mode {mode}")
+    return x[-1], d

@@ -1,0 +1,75 @@
+"""Scalar stream filters: de-emphasis IIR, DC blockers, squelch RMS.
+
+- :func:`deemph_filter` — the FM de-emphasis one-pole IIR
+  (``deemph_filter``, ``src/rtl_fm.c:667-682``):
+  ``avg += (x - avg) / a`` with ``a = round(1/(1-exp(-1/(rate*tc))))``
+  (``rtl_fm.c:1410-1415``).  A first-order *linear* recurrence
+  ``y[n] = (1-1/a) y[n-1] + x[n]/a`` — parallelized exactly with
+  ``lax.associative_scan`` (log-depth, fully on the VPU) instead of the
+  reference's per-sample loop.  The C version's int rounding is dropped in
+  float (SNR-bounded parity), and its process-global ``static int avg``
+  ("cheating") becomes honest carried state.
+- :func:`dc_block_audio` / :func:`dc_block_raw` — block-mean DC removal with
+  exponential smoothing across blocks (``rtl_fm.c:684-721``), weight
+  ``block_const`` (default 9).
+- :func:`rms_level` — the squelch power estimator with DC-in-squares
+  correction (``rms``, ``rtl_fm.c:739-757``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def deemph_alpha(rate_out: int, time_constant_us: int) -> int:
+    """``deemph_a`` from the -c time constant (us=75, eu=50); rtl_fm.c:1412."""
+    tc = time_constant_us * 1e-6
+    return int(round(1.0 / (1.0 - math.exp(-1.0 / (rate_out * tc)))))
+
+
+def deemph_filter(avg, x, deemph_a: int):
+    """(carry, block) -> (carry, block) one-pole IIR via associative scan."""
+    inv_a = jnp.float32(1.0 / deemph_a)
+    c = jnp.float32(1.0) - inv_a
+    # y[n] = c*y[n-1] + inv_a*x[n];   scan over affine maps (A, B)
+    A = jnp.full_like(x, c)
+    B = x * inv_a
+
+    def compose(l, r):
+        return l[0] * r[0], l[1] * r[0] + r[1]
+
+    As, Bs = jax.lax.associative_scan(compose, (A, B))
+    y = Bs + As * avg
+    return y[-1], y
+
+
+def dc_block_audio(dc_avg, x, block_const: int = 9):
+    """(carry, block) -> (carry, block); rtl_fm.c:684-697."""
+    avg = jnp.mean(x)
+    avg = (avg + dc_avg * block_const) / jnp.float32(block_const + 1)
+    return avg, x - avg
+
+
+def dc_block_raw(dc_iq, x, block_const: int = 9):
+    """Raw I/Q DC block pre-demod; ``dc_iq`` shape (2,); rtl_fm.c:699-721."""
+    avg = jnp.mean(x, axis=0)
+    avg = (avg + dc_iq * block_const) / jnp.float32(block_const + 1)
+    return avg, x - avg[None, :]
+
+
+def rms_level(x):
+    """RMS over all interleaved components with DC correction (rtl_fm.c:739).
+
+    ``x``: (N, 2) — the reference calls ``rms(lowpassed, len, 1)`` over the
+    interleaved buffer, i.e. I and Q samples pooled together.
+    """
+    v = x.reshape(-1)
+    n = v.shape[0]
+    t = jnp.sum(v)
+    p = jnp.sum(v * v)
+    dc = t / n
+    err = t * 2 * dc - dc * dc * n
+    return jnp.sqrt(jnp.maximum(p - err, 0.0) / n)

@@ -1,0 +1,86 @@
+"""Rational audio resampler (fast -> slow), ``low_pass_real`` re-designed.
+
+The reference (``src/rtl_fm.c:389-409``) accumulates samples and emits one
+averaged output every time a fractional phase (``prev_lpr_index += slow``)
+crosses ``fast``, dividing by the *truncated* ratio ``fast // slow`` — e.g.
+170 kHz -> 32 kHz emits alternating 5- and 6-sample windows, all divided
+by 5.  Output length is data-dependent (±1 per block), which is hostile to
+XLA's static shapes; following SURVEY.md §7 this is jitted as a fixed-capacity
+output plus a valid count:
+
+- :func:`resample_divisible` — static fast path when ``fast % slow == 0``:
+  a pure reshape-sum, fully fused.
+- :func:`resample_rational` — the general carried-phase path via cumsum +
+  emit-mask + gather; capacity ``N*slow//fast + 2``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class ResampleState(NamedTuple):
+    acc: jnp.ndarray      # () float32 pending window sum   (now_lpr)
+    phase: jnp.ndarray    # () int32 fractional phase       (prev_lpr_index)
+
+    @staticmethod
+    def init():
+        return ResampleState(jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+
+
+def resample_divisible(x, fast: int, slow: int):
+    """Exact-ratio path: window = fast//slow samples, divisor fast//slow."""
+    assert fast % slow == 0
+    k = fast // slow
+    n = (x.shape[0] // k) * k
+    return x[:n].reshape(-1, k).sum(axis=1) * jnp.float32(1.0 / k)
+
+
+def resample_rational(state: ResampleState, x, fast: int, slow: int):
+    """General carried-phase resampler.
+
+    Returns ``(state, y, n_valid)``; ``y`` has static capacity
+    ``N*slow//fast + 2`` and rows past ``n_valid`` are zero.  The divisor is
+    the truncated ``fast // slow``, matching the reference.
+    """
+    n = x.shape[0]
+    cap = n * slow // fast + 2
+    divisor = jnp.float32(1.0 / (fast // slow))
+    # Reduce the ratio so int32 phase arithmetic (phase + j*slow) can't
+    # overflow on large blocks; emission positions and the truncated divisor
+    # depend only on fast/slow, and the carried phase is kept in reduced units.
+    import math as _math
+    g = _math.gcd(int(fast), int(slow))
+    fast, slow = int(fast) // g, int(slow) // g
+    # phase after consuming sample j (1-indexed): c_j = phase0 + j*slow
+    j = jnp.arange(1, n + 1)
+    c = state.phase + j * slow
+    crossings = c // fast                                # how many emits so far
+    prev_crossings = jnp.concatenate([jnp.zeros(1, crossings.dtype), crossings[:-1]])
+    emits = crossings > prev_crossings                   # sample j completes a window
+    csum = jnp.cumsum(x)
+    # k-th emission happens at the j where crossings first reaches k+1
+    k = jnp.arange(cap)
+    total_emits = crossings[-1]
+    # position of k-th emit: smallest j with c_j >= (k+1)*fast
+    #   c_j >= m  <=>  j >= (m - phase0 + slow - 1) // slow   (ints, all > 0)
+    m = (k + 1) * fast
+    pos = (m - state.phase + slow - 1) // slow - 1       # 0-indexed sample idx
+    valid = k < total_emits
+    posc = jnp.clip(pos, 0, n - 1)
+    ends = csum[posc]
+    starts = jnp.concatenate([jnp.zeros(1, x.dtype), ends[:-1]])
+    y = (ends - starts) + jnp.where(k == 0, state.acc, 0.0)
+    y = jnp.where(valid, y * divisor, 0.0)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # leftover
+    total = csum[-1] + state.acc
+    consumed_end = jnp.where(total_emits > 0, csum[jnp.clip(
+        (total_emits * fast - state.phase + slow - 1) // slow - 1, 0, n - 1)]
+        + state.acc, 0.0)
+    new_acc = total - consumed_end
+    new_phase = (state.phase + n * slow) % fast
+    return (ResampleState(new_acc.astype(jnp.float32), new_phase.astype(jnp.int32)),
+            y, n_valid)
