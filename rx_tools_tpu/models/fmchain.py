@@ -138,8 +138,7 @@ def plan_capture(cfg: FmConfig, freq: float, edge: int = 0):
     return cfg2, capture_freq, capture_rate
 
 
-@partial(jax.jit, static_argnums=0)
-def fm_chain_step(cfg: FmConfig, state: FmState, block):
+def fm_chain_step_impl(cfg: FmConfig, state: FmState, block):
     """One block through the whole chain.
 
     ``block``: (2N,) int16 interleaved CS16, N divisible per
@@ -215,6 +214,9 @@ def fm_chain_step(cfg: FmConfig, state: FmState, block):
                         prev_iq=prev_iq, deemph_avg=deemph_avg, dc_avg=dc_avg,
                         resamp=resamp, squelch_hits=squelch_hits)
     return new_state, audio, n_valid, level
+
+
+fm_chain_step = partial(jax.jit, static_argnums=0)(fm_chain_step_impl)
 
 
 def audio_to_int16(audio: np.ndarray) -> np.ndarray:

@@ -1,0 +1,153 @@
+"""The block-streaming runtime: source -> device -> sink.
+
+The reference's concurrency layer is a 4-pthread pipeline with
+rwlock-protected single-buffer handoffs (``src/rtl_fm.c:866-958,1468-1472``)
+where a slow demod thread silently loses data (SURVEY.md §3.1 "backpressure
+caveat").  The TPU-native redesign keeps the *shape* — capture, compute and
+output overlap in time — but gets the overlap from JAX's async dispatch
+instead of threads:
+
+- the host loop reads block ``k+1`` from the source and enqueues its
+  ``device_put`` while the device still computes block ``k`` (dispatch
+  returns immediately; arrays are futures);
+- the sink drains block ``k-1``'s result, so host I/O for one block hides
+  under device compute of the next;
+- hand-off loss is impossible by construction: blocks are values, not a
+  shared buffer.
+
+Failure semantics mirror the reference: a source overflow (negative count,
+``ERR_OVERFLOW``) prints ``"O"`` to stderr and continues
+(``src/rtl_sdr.c:333-337``); EOF (count 0) ends the run; squelch-triggered
+frequency hopping is a host-side control decision between blocks
+(``rtl_fm.c:928-932`` kept out of the graph per SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import numpy as np
+
+from rx_tools_tpu.iq.sources import Source
+from rx_tools_tpu.utils.logging import log
+
+
+@dataclass
+class RunnerStats:
+    blocks: int = 0
+    samples_in: int = 0
+    samples_out: int = 0
+    overflows: int = 0
+    squelch_hops: int = 0
+    wall_s: float = 0.0
+
+    def realtime_multiple(self, rate: float) -> float:
+        if self.wall_s <= 0:
+            return float("inf")
+        return (self.samples_in / rate) / self.wall_s
+
+
+class StreamRunner:
+    """Drive a jitted ``(state, block) -> (state, out, n_valid, level)`` step
+    over a block source.
+
+    Parameters
+    ----------
+    step:        the compiled chain step (config already bound).
+    state:       initial carried-state pytree.
+    source:      block source; ``read_stream(n)`` -> (count, int16 buf).
+    block_size:  complex samples per block.
+    sink:        called with (np.ndarray out_block, level) per block on the
+                 host; receives only the valid prefix.
+    on_squelch:  optional hook called when ``conseq_squelch`` consecutive
+                 squelched blocks accumulate (the scanning/hop control path,
+                 rtl_fm.c:928-932); return True to retune (resets counter).
+    """
+
+    def __init__(self, step: Callable, state, source: Source, block_size: int,
+                 sink: Callable[[np.ndarray, float], None],
+                 on_squelch: Callable[[], bool] | None = None,
+                 conseq_squelch: int = 10):
+        self.step = step
+        self.state = state
+        self.source = source
+        self.block_size = int(block_size)
+        self.sink = sink
+        self.on_squelch = on_squelch
+        self.conseq_squelch = conseq_squelch
+        self.squelch_level = 0.0       # set by the app when -l is given
+        self._hits = conseq_squelch + 1  # start muted (rtl_fm.c:1089-1091)
+        self.stats = RunnerStats()
+        self._stop = False
+
+    def stop(self) -> None:
+        """Signal-handler safe stop request (the ``do_exit`` analog)."""
+        self._stop = True
+
+    def run(self, max_blocks: int | None = None) -> RunnerStats:
+        t0 = time.perf_counter()
+        pending = None          # (device result future, level future)
+        n_read, buf = self._read_block()
+        while not self._stop:
+            if n_read < 0:
+                # soft error: tolerate, mark, continue (rtl_sdr.c:333-337)
+                sys.stderr.write("O")
+                sys.stderr.flush()
+                self.stats.overflows += 1
+                n_read, buf = self._read_block()
+                continue
+            if n_read == 0:
+                break
+            # dispatch compute for this block (async; returns futures)
+            self.state, out, n_valid, level = self.step(self.state, buf)
+            self.stats.blocks += 1
+            self.stats.samples_in += n_read
+            done = max_blocks is not None and self.stats.blocks >= max_blocks
+            # while the device crunches, fetch the NEXT block from the
+            # source — but only if we will process it (a prefetched block
+            # must never be consumed and dropped: resume would skip signal)
+            next_read = None if done else self._read_block()
+            # drain the previous result (already materialised by now)
+            if pending is not None:
+                self._drain(*pending)
+            pending = (out, n_valid, level)
+            if done:
+                break
+            n_read, buf = next_read
+        if pending is not None:
+            self._drain(*pending)
+        self.stats.wall_s = time.perf_counter() - t0
+        return self.stats
+
+    # ------------------------------------------------------------------
+    def _read_block(self):
+        n, buf = self.source.read_stream(self.block_size)
+        if 0 < n < self.block_size:
+            # short tail read: zero-pad to the static block shape
+            pad = np.zeros(2 * self.block_size, np.int16)
+            pad[: 2 * n] = buf[: 2 * n]
+            buf = pad
+        return n, buf
+
+    def _drain(self, out, n_valid, level):
+        out_np = np.asarray(out)[: int(n_valid)]
+        lvl = float(level)
+        self.stats.samples_out += out_np.shape[0]
+        # host-side hop control (demod_thread_fn squelch logic,
+        # rtl_fm.c:923-932): after conseq_squelch consecutive quiet blocks,
+        # ask the controller to retune.
+        if self.squelch_level > 0:
+            if lvl < self.squelch_level:
+                self._hits += 1
+            else:
+                self._hits = 0
+            if self._hits > self.conseq_squelch and self.on_squelch is not None:
+                if self.on_squelch():
+                    self.stats.squelch_hops += 1
+                    self._hits = 0
+                return  # squelched block is not emitted while scanning
+        self.sink(out_np, lvl)

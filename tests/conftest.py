@@ -1,19 +1,25 @@
 """Test environment: CPU backend with 8 virtual devices.
 
-Multi-chip sharding is validated without TPU hardware by forcing the host
-platform to present 8 devices (SURVEY.md §4 "Multi-host without a cluster").
-Must run before the first jax import.
+Multi-chip sharding is validated without TPU hardware by presenting 8 CPU
+devices (SURVEY.md §4 "Multi-host without a cluster").
+
+NOTE: this image's ``sitecustomize.py`` imports jax at interpreter startup
+with ``JAX_PLATFORMS=axon`` (the TPU tunnel), so env vars set here are too
+late — the platform must be overridden through ``jax.config`` instead,
+which works any time before first backend use.
 """
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
 sys.path.insert(0, os.path.dirname(__file__))          # for `oracles`
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
