@@ -1,0 +1,156 @@
+"""Shared CLI plumbing: the ``convenience`` library re-imagined.
+
+Replicates the reference's L1 layer (``src/convenience/convenience.c``):
+``verbose_*`` wrappers that log every device mutation to stderr, the gain
+string / kwargs parsers, and the stdout-suppression contract (stdout is the
+data plane, stderr the log plane — ``convenience.c:447-466``).
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+
+from rx_tools_tpu.iq.sources import Source, make_source, show_device_info
+from rx_tools_tpu.utils.logging import log
+from rx_tools_tpu.utils.units import atofs
+
+
+def select_platform() -> None:
+    """Honour ``RX_PLATFORM`` (cpu|tpu|...) before first backend use.
+
+    Lets the CLIs run on the host CPU (e.g. smoke tests, machines without
+    an accelerator) even when the environment pins ``JAX_PLATFORMS``
+    elsewhere at interpreter startup.
+    """
+    plat = os.environ.get("RX_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
+def verbose_device_search(query: str) -> Source:
+    """``verbose_device_search`` (convenience.c:469-489)."""
+    log("Acquired device with query: '%s'", query)
+    src = make_source(query)
+    show_device_info(src)
+    return src
+
+
+def verbose_set_frequency(src: Source, freq: float) -> int:
+    r = src.set_frequency(freq)
+    if r != 0:
+        log("WARNING: Failed to set center freq.")
+    else:
+        log("Tuned to %d Hz.", int(freq))
+    return r
+
+
+def verbose_set_sample_rate(src: Source, rate: float) -> int:
+    r = src.set_sample_rate(rate)
+    if r != 0:
+        log("WARNING: Failed to set sample rate.")
+    else:
+        log("Sampling at %u S/s.", int(rate))
+    return r
+
+
+def verbose_set_bandwidth(src: Source, bw: float) -> int:
+    r = src.set_bandwidth(bw)
+    if r != 0:
+        log("WARNING: Failed to set bandwidth.")
+    elif bw > 0:
+        log("Bandwidth parameter %u Hz resulted in %u Hz.", int(bw),
+            int(src.bandwidth))
+    else:
+        log("Bandwidth set to automatic resulted in %u Hz.", int(src.bandwidth))
+    return r
+
+
+def verbose_gain_str_set(src: Source, gain_str: str | None) -> int:
+    """Scalar or ``NAME=val,...`` per-element gains (convenience.c:287-327);
+    ``None`` = auto gain with per-driver defaults (convenience.c:238-285)."""
+    if gain_str is None:
+        log("Using automatic gain control.")
+        return 0
+    if "=" in gain_str:
+        r = 0
+        for pair in gain_str.split(","):
+            name, _, value = pair.partition("=")
+            r |= src.set_gain_element(name.strip(), float(value))
+            log("Setting gain element %s: %.1f dB.", name.strip(), float(value))
+        return r
+    value = float(gain_str)
+    r = src.set_gain(value)
+    if r != 0:
+        log("WARNING: Failed to set tuner gain.")
+    else:
+        log("Tuner gain set to %0.2f dB.", value)
+    return r
+
+
+def verbose_antenna_str_set(src: Source, antenna: str) -> int:
+    r = src.set_antenna(antenna)
+    if r != 0:
+        log("WARNING: Failed to set antenna.")
+    else:
+        log("Antenna set to '%s'.", antenna)
+    return r
+
+
+def verbose_ppm_set(src: Source, ppm: float) -> int:
+    """Skip if 0, like the reference (convenience.c:337-349)."""
+    if ppm == 0:
+        return 0
+    r = src.set_frequency_correction(ppm)
+    if r != 0:
+        log("WARNING: Failed to set ppm error.")
+    else:
+        log("Tuner error set to %i ppm.", int(ppm))
+    return r
+
+
+def verbose_direct_sampling(src: Source, mode: int) -> int:
+    """writeSetting("direct_samp") + readback (convenience.c:183-212)."""
+    r = src.write_setting("direct_samp", str(mode))
+    applied = src.read_setting("direct_samp")
+    if mode == 0:
+        log("Direct sampling mode disabled.")
+    else:
+        log("Enabled direct sampling mode, input %s.", applied)
+    return r
+
+
+def verbose_offset_tuning(src: Source) -> int:
+    r = src.write_setting("offset_tune", "true")
+    if src.read_setting("offset_tune") == "true":
+        log("Offset tuning mode enabled.")
+    else:
+        log("WARNING: Failed to set offset tuning.")
+    return r
+
+
+def verbose_settings(src: Source, kwargs_str: str) -> int:
+    """``-t key=val,...`` writeSetting loop (convenience.c:363-380)."""
+    r = 0
+    if not kwargs_str:
+        return 0
+    for pair in kwargs_str.split(","):
+        key, _, value = pair.partition("=")
+        r |= src.write_setting(key.strip(), value)
+        log("Setting %s: %s", key.strip(), value)
+    return r
+
+
+def open_output(filename: str | None):
+    """Positional filename, ``-``/absent = stdout (binary)."""
+    if filename is None or filename == "-":
+        return sys.stdout.buffer
+    return open(filename, "wb")
+
+
+def install_sigint(handler) -> None:
+    """POSIX signal handling (the reference's sighandler analog)."""
+    signal.signal(signal.SIGINT, handler)
+    signal.signal(signal.SIGTERM, handler)

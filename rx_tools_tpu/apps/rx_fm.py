@@ -1,0 +1,337 @@
+"""``rx_fm`` — FM/AM/SSB demodulator, I/Q in -> 16-bit PCM out.
+
+Argument-compatible with the reference tool (flag surface
+``src/rtl_fm.c:195-260``, getopt loop ``:1224-1365``): ``-f`` (repeatable,
+ranges), ``-M`` modes with the ``wbfm`` macro preset (``rtl_fm.c:1331-1341``),
+``-s/-r/-d/-g/-w/-C/-a/-l/-L/-c/-o/-p/-t/-F/-A/-q/-v``, ``-E`` enable list,
+positional filename.  Produces signed 16-bit ints on stdout (WAV header with
+``-E wav``).
+
+The reference's 4-thread pipeline (SURVEY.md §3.1) becomes the StreamRunner
+async-dispatch loop; the controller thread's squelch-driven frequency
+hopping (``rtl_fm.c:999-1050``) becomes the runner's ``on_squelch`` host
+hook; post-retune transient muting (``BUFFER_DUMP``, ``rtl_fm.c:839-843``)
+is a host-side read-and-drop.
+"""
+
+from __future__ import annotations
+
+import getopt
+import math
+import sys
+
+import numpy as np
+
+from rx_tools_tpu import ops
+from rx_tools_tpu.apps import common
+from rx_tools_tpu.models import fmchain
+from rx_tools_tpu.stream.chunked import ChunkedFmRunner
+from rx_tools_tpu.utils.logging import log
+from rx_tools_tpu.utils.units import atofs
+from rx_tools_tpu.utils.wav import write_wav_header
+
+BUFFER_DUMP = 4096
+FREQUENCIES_LIMIT = 1000
+
+USAGE = """rx_fm (rx_tools_tpu), a simple narrow band FM demodulator
+
+Use:\trx_fm -f freq [-options] [filename]
+\t-f frequency_to_tune_to [Hz]
+\t\tuse multiple -f for scanning (requires squelch)
+\t\tranges supported, -f 118M:137M:25k
+\t[-v increase verbosity (default: 0)]
+\t[-M modulation (default: fm)]
+\t\tfm or nbfm or nfm, wbfm or wfm, raw or iq, am, usb, lsb
+\t\twbfm == -M fm -s 170k -o 4 -A fast -r 32k -l 0 -E deemp
+\t\traw mode outputs 2x16 bit IQ pairs
+\t[-s sample_rate (default: 24k)]
+\t[-d device key/value query (ex: file=cap.bin, synth=fm)]
+\t[-g tuner gain(s) (ex: 20, 40, LNA=40,VGA=20,AMP=0)]
+\t[-w tuner_bandwidth (default: automatic. enables offset tuning)]
+\t[-C channel number (ex: 0)]
+\t[-a antenna (ex: 'Tuner 1 50 ohm')]
+\t[-l squelch_level (default: 0/off)]
+\t[-L N  prints levels every N calculations]
+\t[-c de-emphasis_time_constant in us for wbfm. 'us' or 'eu' for 75/50 us (default: us)]
+\t[-o oversampling (default: 1, 4 recommended)]
+\t[-p ppm_error (default: 0)]
+\t[-E enable_option (default: none)]
+\t\tuse multiple -E to enable multiple options
+\t\tedge, rdc, adc, dc, rtlagc, agc, deemp, direct, no-mod, offset, zero, wav
+\t[-q dc_avg_factor for option rdc (default: 9)]
+\tfilename ('-' means stdout)
+Experimental options:
+\t[-r resample_rate (default: none / same as -s)]
+\t[-t squelch_delay (default: 10)]
+\t\t+values will mute/scan, -values will exit
+\t[-F fir_size (default: off), 0 or 9]
+\t[-A std/fast/lut/ale choose atan math (default: std)]
+
+Produces signed 16 bit ints, use Sox or aplay to hear them.
+"""
+
+MODE_ALIASES = {"fm": "fm", "nbfm": "fm", "nfm": "fm", "wbfm": "wbfm",
+                "wfm": "wbfm", "raw": "raw", "iq": "raw", "am": "am",
+                "usb": "usb", "lsb": "lsb"}
+
+
+def usage():
+    sys.stderr.write(USAGE + "\n")
+    raise SystemExit(1)
+
+
+def parse_freq_args(freq_args: list[str]) -> list[float]:
+    """Single freqs and ``lo:hi:step`` ranges (rtl_fm.c:1052-1070)."""
+    freqs: list[float] = []
+    for s in freq_args:
+        if ":" not in s:
+            freqs.append(atofs(s))
+            continue
+        parts = s.split(":")
+        if len(parts) != 3:
+            raise ValueError("use -f lower:upper:step")
+        start, stop, step = (atofs(p) for p in parts)
+        f = start
+        while f <= stop:
+            freqs.append(f)
+            f += step
+        if len(freqs) > FREQUENCIES_LIMIT:
+            raise ValueError(f"too many frequencies (max {FREQUENCIES_LIMIT})")
+    return freqs
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    common.select_platform()
+    try:
+        opts, args = getopt.getopt(
+            argv, "a:C:d:f:g:s:b:l:L:o:t:r:p:E:q:F:A:M:c:h:w:v")
+    except getopt.GetoptError as e:
+        log("%s", str(e))
+        usage()
+
+    freq_args: list[str] = []
+    mode = "fm"
+    rate_in = 24000
+    rate_resample = 0
+    dev_query = ""
+    gain_str = None
+    bandwidth = 0.0
+    channel = 0
+    antenna = None
+    squelch_level = 0.0
+    level_interval = 0
+    deemph_arg = "us"
+    post_downsample = 1
+    ppm_error = 0.0
+    squelch_delay = 10
+    fir_size = -1
+    atan_name = "std"
+    rdc_const = 9
+    verbosity = 0
+    enables: list[str] = []
+
+    for opt, arg in opts:
+        if opt == "-f":
+            freq_args.append(arg)
+        elif opt == "-M":
+            mode = arg
+        elif opt == "-s":
+            rate_in = int(atofs(arg))
+        elif opt == "-r":
+            rate_resample = int(atofs(arg))
+        elif opt == "-d":
+            dev_query = arg
+        elif opt == "-g":
+            gain_str = arg
+        elif opt == "-w":
+            bandwidth = atofs(arg)
+        elif opt == "-C":
+            channel = int(arg)
+        elif opt == "-a":
+            antenna = arg
+        elif opt == "-l":
+            squelch_level = float(atofs(arg))
+        elif opt == "-L":
+            level_interval = int(arg)
+        elif opt == "-c":
+            deemph_arg = arg
+        elif opt == "-o":
+            post_downsample = int(arg)
+        elif opt == "-p":
+            ppm_error = atofs(arg)
+        elif opt == "-t":
+            squelch_delay = int(arg)
+        elif opt == "-F":
+            fir_size = int(arg)
+        elif opt == "-A":
+            atan_name = arg
+        elif opt == "-q":
+            rdc_const = int(arg)
+        elif opt == "-v":
+            verbosity += 1
+        elif opt == "-E":
+            enables.append(arg)
+        elif opt == "-h":
+            usage()
+
+    if mode not in MODE_ALIASES:
+        log("Unknown modulation '%s'", mode)
+        usage()
+    mode = MODE_ALIASES[mode]
+
+    # -M wbfm preset expansion (rtl_fm.c:1331-1341)
+    deemph = "deemp" in enables
+    if mode == "wbfm":
+        mode = "fm"
+        rate_in = 170000
+        rate_resample = rate_resample or 32000
+        atan_name = "fast" if atan_name == "std" else atan_name
+        post_downsample = 4 if post_downsample == 1 else post_downsample
+        deemph = True
+        squelch_level = 0.0
+
+    if not freq_args:
+        usage()
+    try:
+        freqs = parse_freq_args(freq_args)
+    except ValueError as e:
+        log("%s", str(e))
+        return 1
+    if len(freqs) > 1 and squelch_level <= 0:
+        log("Please specify a squelch level.  Required for scanning multiple frequencies.")
+        return 1
+    if len(freqs) >= FREQUENCIES_LIMIT:
+        log("Too many channels, maximum %d.", FREQUENCIES_LIMIT)
+        return 1
+
+    offset_tuning = "offset" in enables or bandwidth > 0
+    edge = 1 if "edge" in enables else 0
+
+    # rate_in *= post_downsample (rtl_fm.c:1371); rate_out keeps the -s value
+    rate_demod = rate_in * post_downsample
+    rate_out = rate_in
+
+    # deemphasis coefficient (rtl_fm.c:1343-1350,1410-1415)
+    deemph_a = 0
+    if deemph:
+        tc_us = {"us": 75, "eu": 50}.get(deemph_arg)
+        if tc_us is None:
+            tc_us = int(float(deemph_arg))
+        deemph_a = ops.deemph_alpha(rate_out, tc_us)
+
+    cfg = fmchain.FmConfig(
+        mode=mode, rate_in=rate_demod, rate_out=rate_out,
+        rate_out2=rate_resample if rate_resample > 0 else -1,
+        downsample=1, downsample_passes=1 if fir_size >= 0 else 0,
+        comp_fir_size=fir_size if fir_size > 0 else 0,
+        custom_atan=ops.disc_mode(atan_name),
+        post_downsample=post_downsample, deemph_a=deemph_a,
+        dc_block_audio=("dc" in enables or "adc" in enables),
+        dc_block_raw="rdc" in enables,
+        squelch_level=squelch_level,
+        squelch_zero="zero" in enables,
+        conseq_squelch=abs(squelch_delay) if squelch_delay else 10,
+        offset_tuning=offset_tuning)
+
+    # capture planning (optimal_settings, rtl_fm.c:960-997); wbfm-style
+    # +16k hop offset skipped: synthetic/file sources have no DC spur
+    cfg, capture_freq0, capture_rate = fmchain.plan_capture(cfg, freqs[0], edge)
+    if verbosity:
+        log("Oversampling input by: %ix.", cfg.downsample)
+        log("Buffer size: %0.2fms",
+            1000 * 0.5 * fmchain.block_samples(cfg) * 2 / capture_rate)
+
+    # --- device setup ----------------------------------------------------
+    src = common.verbose_device_search(dev_query)
+    if "direct" in enables:
+        common.verbose_direct_sampling(src, 1)
+    if "no-mod" in enables:
+        common.verbose_direct_sampling(src, 3)
+    if "offset" in enables:
+        common.verbose_offset_tuning(src)
+    if antenna:
+        common.verbose_antenna_str_set(src, antenna)
+    if "rtlagc" in enables or "agc" in enables:
+        src.write_setting("digital_agc", "true")
+        log("Enabled digital AGC.")
+    common.verbose_gain_str_set(src, gain_str)
+    common.verbose_ppm_set(src, ppm_error)
+    if bandwidth > 0:
+        common.verbose_set_bandwidth(src, bandwidth)
+    src.channel = channel
+    common.verbose_set_sample_rate(src, capture_rate)
+    log("Output at %u Hz.", cfg.rate_in // cfg.post_downsample)
+    common.verbose_set_frequency(src, capture_freq0)
+
+    out = common.open_output(args[0] if args else None)
+    if "wav" in enables:
+        write_wav_header(out, cfg.audio_rate(), stereo=(mode == "raw"))
+
+    # --- controller state (freq scanning) --------------------------------
+    freq_idx = [0]
+
+    def capture_freq(i: int) -> float:
+        c, f, _ = fmchain.plan_capture(cfg, freqs[i], edge)
+        return f
+
+    def on_squelch() -> bool:
+        if len(freqs) <= 1:
+            if squelch_delay < 0:
+                runner.stop()       # -t negative: exit on squelch
+            return False
+        freq_idx[0] = (freq_idx[0] + 1) % len(freqs)
+        src.set_frequency(capture_freq(freq_idx[0]))
+        src.read_stream(BUFFER_DUMP)   # post-retune mute (rtl_fm.c:1047)
+        return True
+
+    # --- level meter (-L, rtl_fm.c:792-807) -------------------------------
+    levels = {"n": 0, "sum": 0.0, "max": 0.0, "maxmax": 0.0}
+
+    def note_level(lvl: float):
+        if not level_interval:
+            return
+        levels["n"] += 1
+        levels["sum"] += lvl
+        levels["max"] = max(levels["max"], lvl)
+        levels["maxmax"] = max(levels["maxmax"], lvl)
+        if levels["n"] >= level_interval:
+            log("%0.f, %0.f, %0.f, %0.f", levels["sum"] / levels["n"],
+                levels["max"], levels["maxmax"], squelch_level)
+            levels["n"] = 0
+            levels["sum"] = 0.0
+            levels["max"] = 0.0
+
+    def sink(audio: np.ndarray, lvl: float):
+        note_level(lvl)
+        pcm = fmchain.audio_to_int16(audio)
+        out.write(pcm.tobytes())
+
+    runner = ChunkedFmRunner(
+        cfg, src, sink,
+        chunk=16,
+        on_squelch=on_squelch if len(freqs) > 1 else None,
+        exit_on_squelch=squelch_delay < 0)
+    runner.warmup()
+
+    common.install_sigint(lambda *a: runner.stop())
+
+    src.activate()
+    try:
+        stats = runner.run()
+    finally:
+        src.deactivate()
+        src.close()
+        if out is not sys.stdout.buffer:
+            out.close()
+        else:
+            out.flush()
+    if verbosity:
+        log("Processed %d blocks (%d samples in, %d out, %.1fx realtime).",
+            stats.blocks, stats.samples_in, stats.samples_out,
+            stats.realtime_multiple(capture_rate))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,262 @@
+"""``rx_power`` — wideband FFT power-spectrum logger.
+
+Argument-compatible with the reference (``src/rtl_power.c:119-173,848-932``):
+``-f lo:hi:max_bin``, ``-i`` interval, ``-1`` single-shot, ``-e`` exit
+timer, ``-d/-g/-p/-C/-a`` device config, ``-w`` window, ``-c`` crop,
+``-F`` fir, ``-P`` peak hold, ``-D`` direct, ``-O`` offset tuning, ``-S``
+settle, ``-R`` retries; CSV rows ``date, time, Hz low, Hz high, Hz step,
+samples, dB, ...`` (``rtl_power.c:1044-1050``).
+
+TPU re-design of the hot path: all hops of a sweep are read back-to-back
+and integrated as one batched (and mesh-shardable) ``sweep_step`` instead
+of the reference's serial per-hop FFT loop; the "retune" between hops is a
+source setFrequency, amortized exactly like the reference's
+settle-and-flush (``retune``, ``rtl_power.c:548-580``).
+
+Two-stage SIGINT kept (``rtl_power.c:175-204``): first ^C finishes the
+current pass and flushes, second aborts mid-sweep.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+import time
+
+import numpy as np
+
+from rx_tools_tpu.apps import common
+from rx_tools_tpu.models import powerscan
+from rx_tools_tpu.models.power_plan import plan_sweep, describe_plan
+from rx_tools_tpu.utils.logging import log
+from rx_tools_tpu.utils.units import atofs, atoft, atofp
+
+USAGE = """rx_power (rx_tools_tpu), an FFT logger for SoapySDR-style sources
+
+Use:\trx_power -f freq_range [-options] [filename]
+\t-f lower:upper:bin_size [Hz]
+\t (bin size is a maximum, smaller more convenient bins will be used.
+\t  valid range 1Hz - 2.8MHz)
+\t[-i integration_interval (default: 10 seconds)]
+\t[-1 enables single-shot mode (default: off)]
+\t[-e exit_timer (default: off/0)]
+\t[-C channel number (ex: 0)]
+\t[-a antenna (ex: 'Tuner 1 50 ohm')]
+\t[-d device key/value query (ex: file=cap.bin, synth=tone)]
+\t[-g tuner gain(s) (ex: 20, 40, LNA=40,VGA=20,AMP=0)]
+\t[-p ppm_error (default: 0)]
+\t[-S tuner_sleep_usec (default: 5000)]
+\t[-R tuner_retry_max (default: 3)]
+\tfilename (a '-' dumps samples to stdout)
+\t[-w window (default: rectangle)]
+\t (hamming, blackman, blackman-harris, hann-poisson, bartlett, youssef)
+\t[-c crop_percent (default: 0%, recommended: 20%-50%)]
+\t[-F fir_size (default: disabled), 0 or 9]
+\t[-P enables peak hold (default: off)]
+\t[-D direct_sampling_mode, 0 (default/off), 1 (I), 2 (Q), 3 (no-mod)]
+\t[-O enable offset tuning (default: off)]
+
+CSV FFT output columns:
+\tdate, time, Hz low, Hz high, Hz step, samples, dbm, dbm, ...
+"""
+
+
+def usage():
+    sys.stderr.write(USAGE + "\n")
+    raise SystemExit(1)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    common.select_platform()
+    try:
+        opts, args = getopt.getopt(argv, "a:C:f:i:s:t:d:g:p:e:w:c:F:1PD:OS:R:h")
+    except getopt.GetoptError as e:
+        log("%s", str(e))
+        usage()
+
+    freq_arg = None
+    interval = 10.0
+    single = False
+    exit_timer = 0.0
+    channel = 0
+    antenna = None
+    dev_query = ""
+    gain_str = None
+    ppm_error = 0.0
+    window_name = "rectangle"
+    crop = 0.0
+    fir_size = -1
+    peak_hold = False
+    direct_sampling = 0
+    offset_tuning = False
+    tuner_sleep_usec = 5000
+    tuner_retry_max = 3
+
+    for opt, arg in opts:
+        if opt == "-f":
+            freq_arg = arg
+        elif opt == "-i":
+            interval = atoft(arg)
+        elif opt == "-1":
+            single = True
+        elif opt == "-e":
+            exit_timer = atoft(arg)
+        elif opt == "-C":
+            channel = int(arg)
+        elif opt == "-a":
+            antenna = arg
+        elif opt == "-d":
+            dev_query = arg
+        elif opt == "-g":
+            gain_str = arg
+        elif opt == "-p":
+            ppm_error = atofs(arg)
+        elif opt == "-w":
+            window_name = {"blackman-harris": "blackman_harris",
+                           "hann-poisson": "hann_poisson"}.get(arg, arg)
+        elif opt == "-c":
+            crop = atofp(arg)
+        elif opt == "-F":
+            fir_size = int(arg)
+        elif opt == "-P":
+            peak_hold = True
+        elif opt == "-D":
+            direct_sampling = int(arg)
+        elif opt == "-O":
+            offset_tuning = True
+        elif opt == "-S":
+            tuner_sleep_usec = int(arg)
+        elif opt == "-R":
+            tuner_retry_max = int(arg)
+        elif opt == "-h":
+            usage()
+
+    if freq_arg is None:
+        usage()
+    parts = freq_arg.split(":")
+    if len(parts) != 3:
+        log("use -f lower:upper:bin_size")
+        return 1
+    lower, upper, max_size = atofs(parts[0]), atofs(parts[1]), atofs(parts[2])
+
+    boxcar = fir_size < 0
+    comp_fir_size = fir_size if fir_size > 0 else 0
+    tunes = plan_sweep(lower, upper, max_size, crop, boxcar=boxcar)
+    log("Reporting every %0.f seconds", interval)
+    for line in describe_plan(tunes):
+        log("%s", line)
+
+    # two-stage SIGINT (rtl_power.c:175-204)
+    bail = [0]
+
+    def sig(*a):
+        bail[0] += 1
+        if bail[0] == 1:
+            log("Signal caught, finishing pass.")
+        else:
+            log("Signal caught, aborting.")
+
+    common.install_sigint(sig)
+
+    src = common.verbose_device_search(dev_query)
+    if direct_sampling:
+        common.verbose_direct_sampling(src, direct_sampling)
+    if offset_tuning:
+        common.verbose_offset_tuning(src)
+    if antenna:
+        common.verbose_antenna_str_set(src, antenna)
+    common.verbose_gain_str_set(src, gain_str)
+    common.verbose_ppm_set(src, ppm_error)
+    src.channel = channel
+    common.verbose_set_sample_rate(src, tunes[0].rate)
+
+    out = common.open_output(args[0] if args else None)
+
+    t0 = tunes[0]
+    cfg = powerscan.PowerConfig(
+        bin_e=t0.bin_e, downsample=t0.downsample,
+        downsample_passes=t0.downsample_passes,
+        boxcar=boxcar, comp_fir_size=comp_fir_size,
+        window=window_name, peak_hold=peak_hold, buf_len=t0.buf_len)
+
+    acc = powerscan.new_sweep_accum(len(tunes), cfg)
+    start = time.time()
+    next_tick = start + interval
+    rc = 0
+    src.activate()
+    try:
+        while bail[0] == 0:
+            # one full sweep: retune + read every hop, then integrate all
+            # hops in one batched device step
+            blocks = np.empty((len(tunes), t0.buf_len), np.int16)
+            aborted = False
+            for i, t in enumerate(tunes):
+                if bail[0] >= 2:
+                    aborted = True
+                    break
+                if src.get_frequency() != t.freq:
+                    _retune(src, t.freq, tuner_sleep_usec, tuner_retry_max)
+                n, buf = src.read_stream(t.buf_len // 2)
+                if n <= 0:
+                    aborted = True
+                    bail[0] = max(bail[0], 1)
+                    break
+                blocks[i, : 2 * n] = buf[: 2 * n]
+                if 2 * n < t.buf_len:
+                    blocks[i, 2 * n:] = 0
+            if not aborted:
+                acc = powerscan.sweep_step(cfg, acc, blocks)
+            now = time.time()
+            if now >= next_tick or single or bail[0]:
+                acc = _flush_csv(out, tunes, cfg, acc)
+                while next_tick <= now:
+                    next_tick += interval
+            if single:
+                break
+            if exit_timer and now - start >= exit_timer:
+                break
+    finally:
+        src.deactivate()
+        src.close()
+        if out is not sys.stdout.buffer:
+            out.close()
+        else:
+            out.flush()
+    return rc
+
+
+def _retune(src, freq, sleep_usec, retry_max):
+    """setFrequency + settle + flush reads (retune, rtl_power.c:548-580)."""
+    src.set_frequency(freq)
+    time.sleep(sleep_usec / 1e6)
+    for _ in range(retry_max):
+        n, _ = src.read_stream(4096)
+        if n > 0:
+            return
+    log("WARNING: read_stream failed to settle, try increasing -S or -R")
+
+
+def _flush_csv(out, tunes, cfg, acc):
+    """Timestamped CSV rows per hop + accumulator reset
+    (rtl_power.c:1041-1051, 774-817)."""
+    avg = np.asarray(acc.avg)
+    samples = np.asarray(acc.samples)
+    stamp = time.strftime("%Y-%m-%d, %H:%M:%S")
+    lines = []
+    for i, t in enumerate(tunes):
+        lo, hi, step, s, dbms = powerscan.csv_row_values(
+            avg[i], int(samples[i]), cfg, t.freq, t.rate, t.crop)
+        vals = ", ".join("%.2f" % d for d in dbms)
+        lines.append(f"{stamp}, {lo}, {hi}, {step:.2f}, {s}, {vals}\n")
+    out.write("".join(lines).encode() if _binary(out) else "".join(lines))
+    out.flush()
+    return powerscan.new_sweep_accum(len(tunes), cfg)
+
+
+def _binary(f) -> bool:
+    return hasattr(f, "mode") and "b" in getattr(f, "mode", "b") or f is sys.stdout.buffer
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

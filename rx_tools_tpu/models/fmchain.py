@@ -64,8 +64,15 @@ class FmConfig:
     output_scale: int = 1
 
     def audio_rate(self) -> int:
-        return self.rate_out2 if self.rate_out2 > 0 else (
-            self.rate_out // self.post_downsample)
+        """Final PCM rate: the resample target, else ``rate_out``.
+
+        Convention (matching the reference's variable roles after its
+        ``rate_in *= post_downsample``, rtl_fm.c:1371): ``rate_in`` is the
+        demod-stage input rate, ``rate_out == rate_in / post_downsample``
+        is the audio rate after ``low_pass_simple``, and ``rate_out2`` the
+        optional resample target.
+        """
+        return self.rate_out2 if self.rate_out2 > 0 else self.rate_out
 
 
 class FmState(NamedTuple):

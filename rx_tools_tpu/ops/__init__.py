@@ -19,7 +19,7 @@ from rx_tools_tpu.ops.fir import (
 )
 from rx_tools_tpu.ops.discriminators import (
     polar_discriminant, fast_atan2, polar_disc_fast, esbensen_disc,
-    fm_discriminate, DISC_STD, DISC_FAST, DISC_LUT, DISC_ALE,
+    fm_discriminate, disc_mode, DISC_STD, DISC_FAST, DISC_LUT, DISC_ALE,
 )
 from rx_tools_tpu.ops.demods import am_demod, usb_demod, lsb_demod
 from rx_tools_tpu.ops.filters import (

@@ -1,0 +1,140 @@
+"""Chunked streaming: amortize dispatch/transfer round trips over K blocks.
+
+Per-block host<->device round trips dominate wall time when the device is
+remote or the chain is cheap (the measured per-RPC latency over a tunneled
+TPU is orders of magnitude above the ~0.25 ms compute per block).  The
+chunked runner reads ``chunk`` blocks from the source, runs them in ONE
+``lax.scan`` dispatch (``stream.scan``), and drains audio + valid counts +
+levels in ONE ``device_get`` — so overheads amortize 1/chunk while squelch
+and level-metering still observe every block (levels come back per block).
+
+Latency cost: ``chunk`` blocks of buffering (e.g. 8 x ~6 ms = ~48 ms for
+the wbfm chain) — the knob to turn for live piping vs offline throughput.
+The reference's analogous knob is ``lcm_post``-scaled buffer length
+(``rtl_fm.c:1387``).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from rx_tools_tpu.iq.sources import Source
+from rx_tools_tpu.models import fmchain
+from rx_tools_tpu.stream.pipeline import RunnerStats
+from rx_tools_tpu.stream.scan import scan_fm_blocks
+
+
+class ChunkedFmRunner:
+    """Drive the FM chain over a source in chunks of ``chunk`` blocks."""
+
+    def __init__(self, cfg: fmchain.FmConfig, source: Source,
+                 sink: Callable[[np.ndarray, float], None],
+                 chunk: int = 8, block_size: int | None = None,
+                 on_squelch: Callable[[], bool] | None = None,
+                 exit_on_squelch: bool = False):
+        self.cfg = cfg
+        self.source = source
+        self.sink = sink
+        self.chunk = int(chunk)
+        self.block_size = int(block_size or fmchain.block_samples(cfg))
+        self.on_squelch = on_squelch
+        self.exit_on_squelch = exit_on_squelch
+        self.squelch_level = float(cfg.squelch_level)
+        self.conseq_squelch = cfg.conseq_squelch
+        self._hits = cfg.conseq_squelch + 1   # start muted (rtl_fm.c:1089-1091)
+        self.state = fmchain.init_state(cfg)
+        self.stats = RunnerStats()
+        self._stop = False
+
+    def stop(self) -> None:
+        self._stop = True
+
+    def warmup(self) -> None:
+        """Compile the chain and exercise one D2H round trip.
+
+        On a tunneled/remote device the first device->host transfer pays a
+        large one-time path-setup cost (measured ~50 s over the axon relay);
+        doing it at startup keeps the steady-state stream glitch-free.
+        """
+        blocks = np.zeros((self.chunk, 2 * self.block_size), np.int16)
+        st, audio, n_valid, levels = scan_fm_blocks(self.cfg, self.state, blocks)
+        jax.device_get((audio[0, :1], n_valid, levels))
+
+    def run(self, max_blocks: int | None = None) -> RunnerStats:
+        t0 = time.perf_counter()
+        pending = None
+        while not self._stop:
+            blocks, n_read = self._read_chunk(max_blocks)
+            if blocks is None:
+                break
+            self.state, audio, n_valid, levels = scan_fm_blocks(
+                self.cfg, self.state, blocks)
+            self.stats.blocks += blocks.shape[0]
+            self.stats.samples_in += n_read
+            if pending is not None:
+                self._drain(*pending)
+            pending = (audio, n_valid, levels)
+            if max_blocks is not None and self.stats.blocks >= max_blocks:
+                break
+        if pending is not None:
+            self._drain(*pending)
+        self.stats.wall_s = time.perf_counter() - t0
+        return self.stats
+
+    # ------------------------------------------------------------------
+    def _read_chunk(self, max_blocks):
+        want = self.chunk
+        if max_blocks is not None:
+            want = min(want, max_blocks - self.stats.blocks)
+        if want <= 0:
+            return None, 0
+        out = np.zeros((want, 2 * self.block_size), np.int16)
+        total = 0
+        k = 0
+        while k < want:
+            n, buf = self.source.read_stream(self.block_size)
+            if n < 0:
+                sys.stderr.write("O")
+                sys.stderr.flush()
+                self.stats.overflows += 1
+                continue
+            if n == 0:
+                break
+            out[k, : 2 * n] = buf[: 2 * n]
+            total += n
+            k += 1
+        if k == 0:
+            return None, 0
+        return out[:k], total
+
+    def _drain(self, audio, n_valid, levels):
+        audio, n_valid, levels = jax.device_get((audio, n_valid, levels))
+        for i in range(audio.shape[0]):
+            a = audio[i, : int(n_valid[i])]
+            lvl = float(levels[i])
+            if self.squelch_level > 0:
+                if lvl < self.squelch_level:
+                    self._hits += 1
+                else:
+                    self._hits = 0
+                if self._hits > self.conseq_squelch:
+                    if self.exit_on_squelch:
+                        # -t negative: terminate_on_squelch (rtl_fm.c:925-927)
+                        self.stop()
+                        return
+                    if self.on_squelch is not None:
+                        # scanning: hop and skip output; hits stay high so
+                        # the next quiet block hops again (rtl_fm.c:928-932;
+                        # the controller never resets demod squelch_hits)
+                        if self.on_squelch():
+                            self.stats.squelch_hops += 1
+                        # blocks after the retune point are stale: drop the
+                        # rest of the chunk (the BUFFER_DUMP-mute analog)
+                        return
+            self.stats.samples_out += a.shape[0]
+            self.sink(a, lvl)

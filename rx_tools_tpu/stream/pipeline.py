@@ -134,8 +134,11 @@ class StreamRunner:
         return n, buf
 
     def _drain(self, out, n_valid, level):
-        out_np = np.asarray(out)[: int(n_valid)]
-        lvl = float(level)
+        # one device_get for the whole tuple: over a remote/tunneled device
+        # every separate pull is a round trip (SURVEY.md §5 "host<->TPU feed")
+        out_np, n_valid, lvl = jax.device_get((out, n_valid, level))
+        out_np = out_np[: int(n_valid)]
+        lvl = float(lvl)
         self.stats.samples_out += out_np.shape[0]
         # host-side hop control (demod_thread_fn squelch logic,
         # rtl_fm.c:923-932): after conseq_squelch consecutive quiet blocks,

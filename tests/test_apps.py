@@ -1,0 +1,94 @@
+"""CLI end-to-end tests: the three tools driven through their main()."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from rx_tools_tpu.apps import rx_fm, rx_power, rx_sdr
+
+
+@pytest.fixture(autouse=True)
+def _cpu_platform(monkeypatch):
+    monkeypatch.setenv("RX_PLATFORM", "cpu")
+
+
+def test_rx_sdr_record_cu8(tmp_path):
+    out = tmp_path / "cap.cu8"
+    rc = rx_sdr.main(["-d", "synth=tone,amp=0.5", "-f", "100M", "-s", "1024k",
+                      "-n", "4096", "-F", "CU8", str(out)])
+    assert rc == 0
+    blob = out.read_bytes()
+    assert len(blob) == 2 * 4096
+    # CU8 bias: mid-scale is 127/128
+    arr = np.frombuffer(blob, np.uint8)
+    assert 100 < arr.mean() < 160
+
+
+def test_rx_sdr_bad_conversion(tmp_path):
+    rc = rx_sdr.main(["-I", "CU8", "-F", "CS16", str(tmp_path / "x")])
+    assert rc == 1
+
+
+def test_rx_sdr_requires_filename():
+    with pytest.raises(SystemExit):
+        rx_sdr.main(["-f", "100M"])
+
+
+def test_rx_power_single_shot(tmp_path):
+    out = tmp_path / "sweep.csv"
+    rc = rx_power.main(["-f", "100M:102M:10k", "-1",
+                        "-d", "synth=tone,carrier=101.3M,amp=0.5,noise=0.01",
+                        str(out)])
+    assert rc == 0
+    rows = [l.split(", ") for l in out.read_text().splitlines()]
+    assert len(rows) == 1
+    lo, hi, step = float(rows[0][2]), float(rows[0][3]), float(rows[0][4])
+    assert lo == 100000000 and hi == 102000000
+    dbms = np.array([float(x) for x in rows[0][6:]])
+    peak_freq = lo + np.argmax(dbms) * step
+    assert abs(peak_freq - 101.3e6) < 2 * step
+    assert dbms.max() - np.median(dbms) > 20
+
+
+def test_rx_power_needs_range():
+    with pytest.raises(SystemExit):
+        rx_power.main([])
+
+
+def test_rx_fm_wbfm_from_file(tmp_path):
+    # record a short FM capture with rx_sdr, demodulate with rx_fm
+    cap = tmp_path / "cap.cs16"
+    rc = rx_sdr.main(["-d", "synth=fm,audio=1k,dev=75k,amp=0.8,noise=0.001,carrier=100.3M",
+                      "-f", "100.64M", "-s", "1360k", "-n", "680k",
+                      "-F", "CS16", str(cap)])
+    assert rc == 0
+    audio = tmp_path / "audio.raw"
+    rc = rx_fm.main(["-f", "100.3M", "-M", "wbfm",
+                     "-d", f"file={cap},format=CS16,rate=1360k", str(audio)])
+    assert rc == 0
+    pcm = np.fromfile(audio, np.int16)
+    assert pcm.size > 10000          # ~0.5 s at 32k
+    a = pcm[2000:].astype(np.float64)
+    a -= a.mean()
+    sp = np.abs(np.fft.rfft(a * np.hanning(a.size))) ** 2
+    fr = np.fft.rfftfreq(a.size, 1 / 32000)
+    assert abs(fr[np.argmax(sp)] - 1000.0) < 10
+
+
+def test_rx_fm_scan_requires_squelch():
+    rc = rx_fm.main(["-f", "100M", "-f", "101M"])
+    assert rc == 1
+
+
+def test_rx_fm_wav_header(tmp_path):
+    cap = tmp_path / "cap.cs16"
+    rx_sdr.main(["-d", "synth=tone", "-f", "100M", "-s", "1024k",
+                 "-n", "100k", "-F", "CS16", str(cap)])
+    audio = tmp_path / "a.wav"
+    rc = rx_fm.main(["-f", "100M", "-M", "am", "-s", "24k", "-E", "wav",
+                     "-d", f"file={cap},format=CS16,rate=1024k", str(audio)])
+    assert rc == 0
+    hdr = audio.read_bytes()[:44]
+    assert hdr[:4] == b"RIFF" and hdr[8:12] == b"WAVE"
