@@ -34,6 +34,14 @@ except ImportError:  # pragma: no cover
     jax = None
     jnp = None
 
+from rx_tools_tpu import native as _native
+
+
+def _use_native(x) -> bool:
+    """Host numpy arrays go through the C++ codecs when built (parity is
+    golden-tested both ways in tests/test_native.py)."""
+    return isinstance(x, np.ndarray) and _native.available()
+
 FORMATS = ("CU8", "CS8", "CS12", "CS16", "CF32")
 
 #: bytes per complex sample (I+Q element), rtl_sdr.c "elem size"
@@ -68,6 +76,8 @@ def _trunc(x):
 
 def cs16_to_cs8(x):
     """``(int16)v / 32767.0 * 128.0 + 0.4`` truncated (rtl_sdr.c:367-374)."""
+    if _use_native(x):
+        return _native.cs16_to_cs8(x.ravel()).reshape(x.shape)
     xp = _xp(x)
     v = _trunc(x.astype(xp.float32) / np.float32(32767.0) * np.float32(128.0)
                + np.float32(0.4))
@@ -76,6 +86,8 @@ def cs16_to_cs8(x):
 
 def cs16_to_cu8(x):
     """``(int16)v / 32767.0 * 128.0 + 127.4`` truncated (rtl_sdr.c:375-382)."""
+    if _use_native(x):
+        return _native.cs16_to_cu8(x.ravel()).reshape(x.shape)
     xp = _xp(x)
     v = _trunc(x.astype(xp.float32) / np.float32(32767.0) * np.float32(128.0)
                + np.float32(127.4))
@@ -84,6 +96,8 @@ def cs16_to_cu8(x):
 
 def cs16_to_cf32(x):
     """``v / SHRT_MAX`` (rtl_sdr.c:383-391)."""
+    if _use_native(x):
+        return _native.cs16_to_cf32(x.ravel()).reshape(x.shape)
     xp = _xp(x)
     return x.astype(xp.float32) / np.float32(32767.0)
 
@@ -95,6 +109,8 @@ def cs16_rescale8(x):
     ``src/rtl_fm.c:845-848``.  Keeps rtl_fm's legacy 8-bit numerics while
     staying in int16 storage.
     """
+    if _use_native(x):
+        return _native.cs16_rescale8(x.ravel()).reshape(x.shape)
     xp = _xp(x)
     v = _trunc(x.astype(xp.float32) / np.float32(32767.0) * np.float32(128.0)
                + np.float32(0.4))
@@ -107,6 +123,8 @@ def cs12_to_cs16(raw):
     ``s0 = (b1 << 12) | (b0 << 4)``; ``s1 = (b2 << 8) | (b1 & 0xf0)`` with
     int16 wraparound.  ``raw`` is a uint8 array of length divisible by 3.
     """
+    if _use_native(raw):
+        return _native.cs12_to_cs16(raw.ravel())
     xp = _xp(raw)
     b = raw.reshape(-1, 3).astype(xp.int32)
     s0 = (b[:, 1] << 12) | (b[:, 0] << 4)
@@ -118,6 +136,8 @@ def cs12_to_cs16(raw):
 def cs16_to_cs12(x):
     """Pack int16 pairs -> CS12 bytes; left-inverse of :func:`cs12_to_cs16`
     for values whose low 4 bits are zero (true 12-bit data)."""
+    if _use_native(x):
+        return _native.cs16_to_cs12(x.ravel())
     xp = _xp(x)
     v = x.reshape(-1, 2).astype(xp.int32) & 0xFFFF
     b0 = (v[:, 0] >> 4) & 0xFF
@@ -132,16 +152,22 @@ def cs16_to_cs12(x):
 
 def cu8_to_cs16(x):
     """uint8 -> int16 full scale: ``(v - 128) << 8`` (rtl-sdr driver idiom)."""
+    if _use_native(x):
+        return _native.cu8_to_cs16(x.ravel()).reshape(x.shape)
     xp = _xp(x)
     return ((x.astype(xp.int16) - 128) << 8).astype(xp.int16)
 
 
 def cs8_to_cs16(x):
+    if _use_native(x):
+        return _native.cs8_to_cs16(x.ravel()).reshape(x.shape)
     xp = _xp(x)
     return (x.astype(xp.int16) << 8).astype(xp.int16)
 
 
 def cf32_to_cs16(x):
+    if _use_native(x):
+        return _native.cf32_to_cs16(x.ravel()).reshape(x.shape)
     xp = _xp(x)
     v = xp.clip(xp.round(x * np.float32(32767.0)), -32768, 32767)
     return v.astype(xp.int16)

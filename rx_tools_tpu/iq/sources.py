@@ -150,10 +150,28 @@ class FileSource(Source):
         self._f = open(params.path, "rb") if params.path != "-" else sys.stdin.buffer
         self._fmt = formats.parse_fmt(params.format)
         self._pending = b""
+        # native readahead feeder (the dongle-thread analog): lossless
+        # backpressure mode; skipped for stdin (fd lifetime) and loop mode
+        # (feeder cannot seek)
+        self._feeder = None
+        if (params.path != "-" and not params.loop):
+            from rx_tools_tpu import native
+            if native.available():
+                elem = formats.ELEM_BYTES[self._fmt]
+                block = max(elem * 16384, 65536)
+                self._feeder = native.Feeder(self._f.fileno(),
+                                             block - block % elem,
+                                             depth=8, drop_on_full=False)
 
-    def read_stream(self, n_elems: int) -> tuple[int, np.ndarray]:
-        need = n_elems * formats.ELEM_BYTES[self._fmt]
+    def _read_bytes(self, need: int) -> bytes:
         buf = self._pending
+        if self._feeder is not None:
+            while len(buf) < need:
+                blk = self._feeder.read_block()
+                if blk is None:
+                    break
+                buf += blk.tobytes()
+            return buf
         while len(buf) < need:
             chunk = self._f.read(need - len(buf))
             if not chunk:
@@ -162,9 +180,14 @@ class FileSource(Source):
                     continue
                 break
             buf += chunk
-        # trim to whole elements
+        return buf
+
+    def read_stream(self, n_elems: int) -> tuple[int, np.ndarray]:
         elem = formats.ELEM_BYTES[self._fmt]
-        n = len(buf) // elem
+        need = n_elems * elem
+        buf = self._read_bytes(need)
+        # trim to whole elements; keep at most one block of remainder
+        n = min(len(buf) // elem, n_elems)
         self._pending = buf[n * elem:]
         if n == 0:
             return 0, np.empty(0, np.int16)
@@ -173,6 +196,9 @@ class FileSource(Source):
         return n, np.asarray(cs16, dtype=np.int16)
 
     def close(self) -> None:
+        if self._feeder is not None:
+            self._feeder.close()
+            self._feeder = None
         if self._f is not sys.stdin.buffer:
             self._f.close()
 
