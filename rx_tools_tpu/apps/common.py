@@ -30,6 +30,43 @@ def select_platform() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+class suppress_stdout:
+    """Context manager over the dup2 stdout->stderr trick
+    (convenience.c:447-466): device-init chatter cannot corrupt the data
+    plane while inside the block."""
+
+    def __enter__(self):
+        from rx_tools_tpu.utils.logging import suppress_stdout_start
+        self._saved = suppress_stdout_start()
+        return self
+
+    def __exit__(self, *exc):
+        from rx_tools_tpu.utils.logging import suppress_stdout_stop
+        suppress_stdout_stop(self._saved)
+        return False
+
+
+class maybe_profile:
+    """``RX_PROFILE=<dir>`` wraps the run in a jax.profiler trace — the
+    tracing hook the reference never had (SURVEY.md §5)."""
+
+    def __init__(self):
+        self.dir = os.environ.get("RX_PROFILE")
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+            jax.profiler.start_trace(self.dir)
+            log("Profiling to %s", self.dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            import jax
+            jax.profiler.stop_trace()
+        return False
+
+
 def verbose_device_search(query: str) -> Source:
     """``verbose_device_search`` (convenience.c:469-489)."""
     log("Acquired device with query: '%s'", query)

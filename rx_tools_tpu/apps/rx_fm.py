@@ -242,27 +242,28 @@ def main(argv=None) -> int:
         log("Buffer size: %0.2fms",
             1000 * 0.5 * fmchain.block_samples(cfg) * 2 / capture_rate)
 
-    # --- device setup ----------------------------------------------------
-    src = common.verbose_device_search(dev_query)
-    if "direct" in enables:
-        common.verbose_direct_sampling(src, 1)
-    if "no-mod" in enables:
-        common.verbose_direct_sampling(src, 3)
-    if "offset" in enables:
-        common.verbose_offset_tuning(src)
-    if antenna:
-        common.verbose_antenna_str_set(src, antenna)
-    if "rtlagc" in enables or "agc" in enables:
-        src.write_setting("digital_agc", "true")
-        log("Enabled digital AGC.")
-    common.verbose_gain_str_set(src, gain_str)
-    common.verbose_ppm_set(src, ppm_error)
-    if bandwidth > 0:
-        common.verbose_set_bandwidth(src, bandwidth)
-    src.channel = channel
-    common.verbose_set_sample_rate(src, capture_rate)
-    log("Output at %u Hz.", cfg.rate_in // cfg.post_downsample)
-    common.verbose_set_frequency(src, capture_freq0)
+    # --- device setup (stdout suppressed, rtl_fm.c:1389) -----------------
+    with common.suppress_stdout():
+        src = common.verbose_device_search(dev_query)
+        if "direct" in enables:
+            common.verbose_direct_sampling(src, 1)
+        if "no-mod" in enables:
+            common.verbose_direct_sampling(src, 3)
+        if "offset" in enables:
+            common.verbose_offset_tuning(src)
+        if antenna:
+            common.verbose_antenna_str_set(src, antenna)
+        if "rtlagc" in enables or "agc" in enables:
+            src.write_setting("digital_agc", "true")
+            log("Enabled digital AGC.")
+        common.verbose_gain_str_set(src, gain_str)
+        common.verbose_ppm_set(src, ppm_error)
+        if bandwidth > 0:
+            common.verbose_set_bandwidth(src, bandwidth)
+        src.channel = channel
+        common.verbose_set_sample_rate(src, capture_rate)
+        log("Output at %u Hz.", cfg.rate_in // cfg.post_downsample)
+        common.verbose_set_frequency(src, capture_freq0)
 
     out = common.open_output(args[0] if args else None)
     if "wav" in enables:
@@ -318,7 +319,8 @@ def main(argv=None) -> int:
 
     src.activate()
     try:
-        stats = runner.run()
+        with common.maybe_profile():
+            stats = runner.run()
     finally:
         src.deactivate()
         src.close()

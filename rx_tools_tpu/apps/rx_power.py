@@ -113,8 +113,7 @@ def main(argv=None) -> int:
         elif opt == "-p":
             ppm_error = atofs(arg)
         elif opt == "-w":
-            window_name = {"blackman-harris": "blackman_harris",
-                           "hann-poisson": "hann_poisson"}.get(arg, arg)
+            window_name = arg       # registry keys match the -w spellings
         elif opt == "-c":
             crop = atofp(arg)
         elif opt == "-F":
@@ -159,17 +158,18 @@ def main(argv=None) -> int:
 
     common.install_sigint(sig)
 
-    src = common.verbose_device_search(dev_query)
-    if direct_sampling:
-        common.verbose_direct_sampling(src, direct_sampling)
-    if offset_tuning:
-        common.verbose_offset_tuning(src)
-    if antenna:
-        common.verbose_antenna_str_set(src, antenna)
-    common.verbose_gain_str_set(src, gain_str)
-    common.verbose_ppm_set(src, ppm_error)
-    src.channel = channel
-    common.verbose_set_sample_rate(src, tunes[0].rate)
+    with common.suppress_stdout():
+        src = common.verbose_device_search(dev_query)
+        if direct_sampling:
+            common.verbose_direct_sampling(src, direct_sampling)
+        if offset_tuning:
+            common.verbose_offset_tuning(src)
+        if antenna:
+            common.verbose_antenna_str_set(src, antenna)
+        common.verbose_gain_str_set(src, gain_str)
+        common.verbose_ppm_set(src, ppm_error)
+        src.channel = channel
+        common.verbose_set_sample_rate(src, tunes[0].rate)
 
     out = common.open_output(args[0] if args else None)
 

@@ -122,17 +122,18 @@ def main(argv=None) -> int:
 
     common.install_sigint(_on_sig)
 
-    src = common.verbose_device_search(dev_query)
-    if direct_sampling:
-        common.verbose_direct_sampling(src, direct_sampling)
-    common.verbose_set_sample_rate(src, samp_rate)
-    common.verbose_set_frequency(src, frequency)
-    common.verbose_gain_str_set(src, gain_str)
-    if antenna:
-        common.verbose_antenna_str_set(src, antenna)
-    common.verbose_ppm_set(src, ppm_error)
-    common.verbose_settings(src, settings_str)
-    src.channel = channel
+    with common.suppress_stdout():
+        src = common.verbose_device_search(dev_query)
+        if direct_sampling:
+            common.verbose_direct_sampling(src, direct_sampling)
+        common.verbose_set_sample_rate(src, samp_rate)
+        common.verbose_set_frequency(src, frequency)
+        common.verbose_gain_str_set(src, gain_str)
+        if antenna:
+            common.verbose_antenna_str_set(src, antenna)
+        common.verbose_ppm_set(src, ppm_error)
+        common.verbose_settings(src, settings_str)
+        src.channel = channel
 
     out = common.open_output(filename)
     src.activate()

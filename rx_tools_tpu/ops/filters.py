@@ -60,6 +60,17 @@ def dc_block_raw(dc_iq, x, block_const: int = 9):
     return avg, x - avg[None, :]
 
 
+def mad_level(x):
+    """Mean absolute deviation (``mad``, ``rtl_fm.c:722-737``).
+
+    An alternative squelch estimator the reference ships but never calls;
+    provided for capability parity.  ``x``: any shape, pooled.
+    """
+    v = x.reshape(-1)
+    avg = jnp.sum(v) / v.shape[0]          # truncating int div in C; float here
+    return jnp.sum(jnp.abs(v - avg)) / v.shape[0]
+
+
 def rms_level(x):
     """RMS over all interleaved components with DC correction (rtl_fm.c:739).
 
