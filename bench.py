@@ -39,8 +39,10 @@ def main():
         downsample=downsample, custom_atan=1,
         deemph_a=ops.deemph_alpha(rate_in, 75), squelch_level=0.0)
 
-    n = fmchain.block_samples(cfg)                 # complex samples / block
-    blocks_per_chunk = 64
+    # block geometry: ~262k complex samples x 16 blocks/dispatch measured
+    # fastest on v5e (see docs/PERF.md block-size sweep)
+    n = fmchain.block_samples(cfg, target=262144)
+    blocks_per_chunk = 16
     rng = np.random.default_rng(0)
     # synthetic FM-ish content (noise is fine: throughput is data-independent)
     chunk = rng.integers(-16000, 16000,

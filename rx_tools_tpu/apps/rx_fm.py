@@ -182,6 +182,7 @@ def main(argv=None) -> int:
 
     # -M wbfm preset expansion (rtl_fm.c:1331-1341)
     deemph = "deemp" in enables
+    wb_mode = mode == "wbfm"
     if mode == "wbfm":
         mode = "fm"
         rate_in = 170000
@@ -204,6 +205,10 @@ def main(argv=None) -> int:
     if len(freqs) >= FREQUENCIES_LIMIT:
         log("Too many channels, maximum %d.", FREQUENCIES_LIMIT)
         return 1
+    if wb_mode:
+        # controller's wbfm tuning offset (rtl_fm.c:1006-1011): nudge off
+        # the station center so the DC spur lands between channels
+        freqs = [f + 16000 for f in freqs]
 
     offset_tuning = "offset" in enables or bandwidth > 0
     edge = 1 if "edge" in enables else 0

@@ -3,17 +3,25 @@
 The reference's sweep is a serial loop over up to 10000 frequency hops
 (``scanner``, ``src/rtl_power.c:670-772``) — an embarrassingly-parallel
 axis its own TODO wanted to thread (``rtl_power.c:29-36``).  Here the hop
-axis ``H`` of the batched sweep (``models.powerscan.sweep_step``) is simply
-annotated with a ``PartitionSpec("h")`` and jit partitions the vmapped hop
-body across the mesh: every device integrates its own hops' FFTs locally,
-zero communication in the steady state.  The stitch (crop + concatenate,
-``csv_dbm``) happens on fully-integrated per-hop accumulators, so the only
-collective is the final gather of ``(H, bin_len)`` floats per interval —
-negligible next to the FFT work, which is why sweep scaling stays near
-linear (the ``BASELINE.md`` >= 85% multi-host target).
+axis ``H`` shards over the mesh and every device integrates its own hops'
+FFTs locally.
+
+Implementation note (measured, not theoretical): annotating shardings and
+letting the SPMD partitioner split the batched FFT does NOT work — XLA's
+``fft`` op is unpartitionable on sharded operands, so the partitioner
+inserts an **all-gather of the whole segment batch** before it (observed
+in compiled HLO).  The sweep therefore runs under ``shard_map``: manual
+SPMD, each device calls the dense per-hop body on its local (H/n) slice,
+and the steady state compiles to **zero collectives** (asserted in
+``tests/test_parallel.py``).  The only cross-device traffic is the final
+host gather of ``(H, bin_len)`` accumulators per CSV interval — negligible
+next to the FFT work, which is why sweep scaling stays near linear (the
+``BASELINE.md`` >= 85% multi-host target).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import numpy as np
@@ -29,7 +37,7 @@ def shard_hop_blocks(blocks: np.ndarray, mesh: Mesh):
 
 def hop_sharded_sweep(cfg: powerscan.PowerConfig, acc: powerscan.SweepAccum,
                       blocks, mesh: Mesh) -> powerscan.SweepAccum:
-    """One sweep pass with hops sharded across devices.
+    """One sweep pass with hops sharded across devices via shard_map.
 
     ``blocks``: (H, buf_len) int16, H divisible by mesh size.  The
     accumulators stay resident and sharded across integration intervals;
@@ -41,4 +49,20 @@ def hop_sharded_sweep(cfg: powerscan.PowerConfig, acc: powerscan.SweepAccum,
         samples=jax.device_put(acc.samples, NamedSharding(mesh, P("h"))),
     )
     blocks = jax.device_put(blocks, sharding)
-    return powerscan.sweep_step(cfg, acc, blocks)
+    avg, samples = _sharded_fn(cfg, mesh)(acc.avg, acc.samples, blocks)
+    return powerscan.SweepAccum(avg, samples)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_fn(cfg: powerscan.PowerConfig, mesh: Mesh):
+    """Jitted shard_map, cached per (cfg, mesh) — rebuilding it per call
+    would retrace every sweep."""
+
+    def local(avg, samples, blk):
+        a = powerscan.sweep_step(cfg, powerscan.SweepAccum(avg, samples), blk)
+        return a.avg, a.samples
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("h", None), P("h"), P("h", None)),
+        out_specs=(P("h", None), P("h"))))

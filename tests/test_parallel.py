@@ -78,6 +78,47 @@ def test_time_sharded_no_iir_exact():
     np.testing.assert_allclose(got, audio_u, rtol=1e-4, atol=0.05)
 
 
+_COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
+                "collective-permute", "reduce-scatter")
+
+
+def _collectives_in(hlo: str):
+    return [l.strip() for l in hlo.splitlines()
+            if any(k in l for k in _COLLECTIVES)]
+
+
+def test_hop_sharded_sweep_zero_collectives():
+    """The sweep steady state must compile to NO cross-device traffic
+    (naive sharding annotations all-gather the FFT batch — a measured
+    regression this guards against)."""
+    cfg = powerscan.PowerConfig(bin_e=8, downsample=1, buf_len=2 * 256 * 4)
+    h = 16
+    mesh = make_mesh(8, axis="h")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    acc = powerscan.new_sweep_accum(h, cfg)
+    blocks = jnp.zeros((h, cfg.buf_len), jnp.int16)
+
+    def run(avg, samples, blk):
+        from rx_tools_tpu.parallel.hopshard import hop_sharded_sweep
+        return hop_sharded_sweep(cfg, powerscan.SweepAccum(avg, samples),
+                                 blk, mesh)
+
+    hlo = jax.jit(run).lower(acc.avg, acc.samples, blocks).compile().as_text()
+    assert _collectives_in(hlo) == [], _collectives_in(hlo)[:3]
+
+
+def test_time_sharded_exactly_one_permute():
+    """Time sharding's only communication is the one-hop halo ring."""
+    cfg = _cfg()
+    mesh = make_mesh(S, axis="t")
+    n = fmchain.block_samples(cfg, target=480)
+    sharded = jnp.zeros((S, 3, 2 * n), jnp.int16)
+    hlo = time_sharded_fm.lower(cfg, sharded, mesh=mesh,
+                                warmup=1).compile().as_text()
+    colls = _collectives_in(hlo)
+    assert len(colls) == 1 and "collective-permute" in colls[0], colls
+
+
 def test_hop_sharded_sweep_exact():
     cfg = powerscan.PowerConfig(bin_e=6, downsample=1, buf_len=512)
     h = 8
