@@ -127,6 +127,12 @@ class ChunkedFmRunner:
                         # -t negative: terminate_on_squelch (rtl_fm.c:925-927)
                         self.stop()
                         return
+                    if self.cfg.squelch_zero:
+                        # -E zero: emit the (already zeroed) audio instead of
+                        # hopping/skipping (rtl_fm.c:929-937)
+                        self.stats.samples_out += a.shape[0]
+                        self.sink(a, lvl)
+                        continue
                     if self.on_squelch is not None:
                         # scanning: hop and skip output; hits stay high so
                         # the next quiet block hops again (rtl_fm.c:928-932;
@@ -136,5 +142,9 @@ class ChunkedFmRunner:
                         # blocks after the retune point are stale: drop the
                         # rest of the chunk (the BUFFER_DUMP-mute analog)
                         return
+                    # single freq, no -E zero: skip output while squelched
+                    # (the reference signals a no-op hop and skips,
+                    # rtl_fm.c:929-933)
+                    continue
             self.stats.samples_out += a.shape[0]
             self.sink(a, lvl)

@@ -82,6 +82,22 @@ def test_rx_fm_scan_requires_squelch():
     assert rc == 1
 
 
+def test_rx_fm_raw_mode(tmp_path):
+    """-M raw outputs 2x16-bit I/Q pairs at the decimated rate."""
+    cap = tmp_path / "cap.cs16"
+    rx_sdr.main(["-d", "synth=tone,amp=0.3", "-f", "100M", "-s", "1024k",
+                 "-n", "96k", "-F", "CS16", str(cap)])
+    out = tmp_path / "iq.raw"
+    rc = rx_fm.main(["-f", "100M", "-M", "raw", "-s", "24k",
+                     "-d", f"file={cap},format=CS16,rate=1024k", str(out)])
+    assert rc == 0
+    data = np.fromfile(out, np.int16)
+    assert data.size % 2 == 0 and data.size > 1000
+    # decimation 1024k -> >=1Ms capture floor => downsample 42 -> ~2285
+    # complex pairs per 96k input (plus up to one zero-padded tail block)
+    assert abs(data.size // 2 - 96_000 // 42) < 150
+
+
 def test_rx_fm_wav_header(tmp_path):
     cap = tmp_path / "cap.cs16"
     rx_sdr.main(["-d", "synth=tone", "-f", "100M", "-s", "1024k",
