@@ -14,7 +14,6 @@ import sys
 
 from rx_tools_tpu.iq.sources import Source, make_source, show_device_info
 from rx_tools_tpu.utils.logging import log
-from rx_tools_tpu.utils.units import atofs
 
 
 def select_platform() -> None:
@@ -68,9 +67,18 @@ class maybe_profile:
 
 
 def verbose_device_search(query: str) -> Source:
-    """``verbose_device_search`` (convenience.c:469-489)."""
+    """``verbose_device_search`` (convenience.c:469-489).
+
+    Source-construction failures (missing file, bad kwargs) exit with a
+    clean message like the reference's "Failed to open..." path, not a
+    traceback.
+    """
     log("Acquired device with query: '%s'", query)
-    src = make_source(query)
+    try:
+        src = make_source(query)
+    except (OSError, ValueError) as e:
+        log("Failed to open source with query '%s': %s", query, e)
+        raise SystemExit(1)
     show_device_info(src)
     return src
 

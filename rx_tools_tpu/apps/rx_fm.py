@@ -17,7 +17,6 @@ is a host-side read-and-drop.
 from __future__ import annotations
 
 import getopt
-import math
 import sys
 
 import numpy as np

@@ -29,7 +29,7 @@ from __future__ import annotations
 import math
 import os
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -268,7 +268,12 @@ class SynthSource(Source):
         else:
             raise ValueError(f"unknown synth kind: {self.kind}")
         mix = np.exp(2j * math.pi * offset * t)
-        out = self.amp * sig * mix
+        # front-end selectivity: a real tuner's anti-alias filtering keeps
+        # far-out-of-band emitters from folding in; roll off past Nyquist
+        # so sweep hops see the emitter only when it is actually in-band
+        rel = abs(offset) / (fs / 2.0)
+        atten = 1.0 if rel <= 1.0 else 10.0 ** (-4 * min(rel - 1.0, 1.0))
+        out = self.amp * atten * sig * mix
         if self.noise:
             out = out + self.noise * (
                 self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n))

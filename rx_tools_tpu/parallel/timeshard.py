@@ -39,7 +39,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from rx_tools_tpu.models import fmchain
 from rx_tools_tpu.stream.scan import stack_blocks

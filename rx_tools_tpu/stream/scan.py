@@ -18,7 +18,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from rx_tools_tpu.models import fmchain

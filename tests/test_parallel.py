@@ -62,6 +62,23 @@ def test_time_sharded_matches_unsharded():
             assert snr_db(ref[skip:], got[skip:]) > 40, s
 
 
+def test_time_sharded_fifth_order_path():
+    """Halo warm-up also restores the fifth-order + droop FIR state."""
+    cfg = _cfg(deemph_a=0, rate_out2=-1, downsample=4, downsample_passes=2,
+               comp_fir_size=9)
+    iq, n = _recording(cfg, seed=7)
+    mesh = make_mesh(S, axis="t")
+    sharded = shard_recording(iq, S, n)
+    audio_sh, _ = time_sharded_fm(cfg, jnp.asarray(sharded),
+                                  mesh=mesh, warmup=1)
+    st = fmchain.init_state(cfg)
+    blocks = sharded.reshape(-1, sharded.shape[-1])
+    _, audio_u, _, _ = scan_mod.scan_fm_blocks(cfg, st, jnp.asarray(blocks))
+    audio_u = np.asarray(audio_u).reshape(S, -1, audio_u.shape[-1])
+    np.testing.assert_allclose(np.asarray(audio_sh), audio_u,
+                               rtol=1e-4, atol=0.05)
+
+
 def test_time_sharded_no_iir_exact():
     """Without IIR stages (no deemph/DC), halo warm-up is exact everywhere."""
     cfg = _cfg(deemph_a=0, rate_out2=-1)
