@@ -113,6 +113,13 @@ def main(argv=None) -> int:
             input_format, output_format)
         return 1
 
+    # -I names the device wire format (rtl_sdr.c:138,301): for file/stdin
+    # sources it selects how the bytes are decoded unless the -d query
+    # already pins one
+    if ("file=" in dev_query or "stdin" in dev_query) \
+            and "format=" not in dev_query:
+        dev_query += f",format={input_format}"
+
     do_exit = [False]
     user_cancel = [False]
 

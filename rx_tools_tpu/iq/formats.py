@@ -147,7 +147,12 @@ def cs16_to_cs12(x):
 
 
 # ---------------------------------------------------------------------------
-# Widening (-> CS16).  Framework-defined; exact left inverses where noted.
+# Widening (-> CS16).  Framework-defined: CU8/CS8 use the rtl-sdr driver
+# idiom ((v - 128) << 8 / v << 8) for ecosystem compatibility with files
+# produced by stock drivers.  NOTE this makes CU8 -> CS16 -> CU8 round
+# trips off by at most 1 LSB against the reference's +127.4-biased
+# narrowing (which its hardware-fed pipeline never composes with a widen);
+# CS12 and CF32 round-trip exactly.
 # ---------------------------------------------------------------------------
 
 def cu8_to_cs16(x):
