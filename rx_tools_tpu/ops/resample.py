@@ -45,6 +45,12 @@ def resample_rational(state: ResampleState, x, fast: int, slow: int):
     ``N*slow//fast + 2`` and rows past ``n_valid`` are zero.  The divisor is
     the truncated ``fast // slow``, matching the reference.
     """
+    if fast < slow:
+        # the reference's low_pass_real is strictly fast->slow; its C would
+        # divide by zero here (rate_out/rate_out2 == 0) — fail loudly instead
+        raise ValueError(
+            f"resample target {slow} exceeds input rate {fast}: "
+            "low_pass_real only downsamples (use -r below -s)")
     n = x.shape[0]
     cap = n * slow // fast + 2
     divisor = jnp.float32(1.0 / (fast // slow))

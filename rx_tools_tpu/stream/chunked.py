@@ -105,6 +105,11 @@ class ChunkedFmRunner:
                 continue
             if n == 0:
                 break
+            if n < self.block_size:
+                # partial tail read (EOF): drop it rather than zero-pad —
+                # padding would demodulate the pad into garbage audio
+                # (< one block of signal lost, and only at end-of-file)
+                break
             out[k, : 2 * n] = buf[: 2 * n]
             total += n
             k += 1
