@@ -76,7 +76,7 @@ def verbose_device_search(query: str) -> Source:
     log("Acquired device with query: '%s'", query)
     try:
         src = make_source(query)
-    except (OSError, ValueError) as e:
+    except (OSError, ValueError, RuntimeError) as e:
         log("Failed to open source with query '%s': %s", query, e)
         raise SystemExit(1)
     show_device_info(src)

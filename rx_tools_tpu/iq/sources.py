@@ -311,6 +311,13 @@ def make_source(query: str | dict) -> Source:
         return FileSource(p)
     if "synth" in kw or kw.get("driver") == "synth":
         return SynthSource(kw)
+    if "driver" in kw:
+        # hardware path: SoapySDR by driver query, exactly like the
+        # reference's -d driver=rtlsdr (convenience.c:469-489)
+        from rx_tools_tpu.iq import soapy
+        qstr = query if isinstance(query, str) else ",".join(
+            f"{k}={v}" for k, v in kw.items())
+        return soapy.SoapySource(qstr)
     # reference default: empty query = first available device
     return SynthSource({"synth": "noise", **kw})
 

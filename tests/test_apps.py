@@ -108,3 +108,12 @@ def test_rx_fm_wav_header(tmp_path):
     assert rc == 0
     hdr = audio.read_bytes()[:44]
     assert hdr[:4] == b"RIFF" and hdr[8:12] == b"WAVE"
+
+
+def test_driver_query_without_soapy_lib():
+    """-d driver=... on a machine without libSoapySDR: clean exit."""
+    from rx_tools_tpu.iq import soapy
+    if soapy.available():
+        pytest.skip("SoapySDR present")
+    with pytest.raises(SystemExit):
+        rx_fm.main(["-f", "100M", "-d", "driver=rtlsdr", "-"])
