@@ -75,11 +75,18 @@ def esbensen_disc(ar, aj, br, bj):
     return scaled_pi * cj / (ar * ar + aj * aj + 1.0)
 
 
-def fm_discriminate(prev, x, mode: int):
-    """Vectorized FM discriminator over a block.
+def fm_discriminate(prev, x, mode: int, seam_stride: int | None = None):
+    """Vectorized FM discriminator over a block (or a whole flat chunk).
 
     ``prev``: (2,) previous complex sample (carried).  ``x``: (N, 2).
     Returns ``(new_prev, d)`` with ``d`` shape (N,) in pi==1<<14 units.
+
+    The reference computes sample 0 of *every read buffer* with the std
+    atan2 regardless of ``-A`` mode (``fm_demod``, rtl_fm.c:588-590).
+    Per-block callers get that from the default (seam at index 0);
+    flat-chunk callers pass ``seam_stride`` = samples per block so every
+    interior block seam keeps the same quirk and the two engines agree
+    bit-for-bit.
     """
     xs = jnp.concatenate([prev[None, :], x], axis=0)   # (N+1, 2)
     ar, aj = x[:, 0], x[:, 1]
@@ -89,13 +96,16 @@ def fm_discriminate(prev, x, mode: int):
     cj = aj * br - ar * bj
     if mode in (DISC_STD, DISC_LUT):
         d = polar_discriminant(cr, cj)
-    elif mode == DISC_FAST:
-        d = polar_disc_fast(cr, cj)
-        # seam sample matches the reference: always std atan2
-        d = d.at[0].set(polar_discriminant(cr[0], cj[0]))
-    elif mode == DISC_ALE:
-        d = esbensen_disc(ar, aj, br, bj)
-        d = d.at[0].set(polar_discriminant(cr[0], cj[0]))
+    elif mode in (DISC_FAST, DISC_ALE):
+        if mode == DISC_FAST:
+            d = polar_disc_fast(cr, cj)
+        else:
+            d = esbensen_disc(ar, aj, br, bj)
+        if seam_stride is None:
+            d = d.at[0].set(polar_discriminant(cr[0], cj[0]))
+        else:
+            idx = jnp.arange(0, d.shape[0], seam_stride)
+            d = d.at[idx].set(polar_discriminant(cr[idx], cj[idx]))
     else:
         raise ValueError(f"bad discriminator mode {mode}")
     return x[-1], d

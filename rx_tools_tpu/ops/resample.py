@@ -52,6 +52,15 @@ def resample_rational(state: ResampleState, x, fast: int, slow: int):
             f"resample target {slow} exceeds input rate {fast}: "
             "low_pass_real only downsamples (use -r below -s)")
     n = x.shape[0]
+    import math as _m
+    _g = _m.gcd(int(fast), int(slow))
+    if n * (slow // _g) + fast >= 2 ** 31:
+        # the cumulative phase n*slow must fit int32 (x64 is off in jax by
+        # default); callers chunk their streams below this envelope —
+        # ~268k samples at 170k->32k, far above any single read buffer
+        raise ValueError(
+            f"block of {n} samples overflows the int32 resampler phase for "
+            f"ratio {fast}/{slow}; split the stream into smaller chunks")
     cap = n * slow // fast + 2
     divisor = jnp.float32(1.0 / (fast // slow))
     # Reduce the ratio so int32 phase arithmetic (phase + j*slow) can't
