@@ -57,13 +57,17 @@ Use:\trx_fm -f freq [-options] [filename]
 \t[-E enable_option (default: none)]
 \t\tuse multiple -E to enable multiple options
 \t\tedge, rdc, adc, dc, rtlagc, agc, deemp, direct, no-mod, offset, zero, wav
+\t\thq:     high-quality DSP (polyphase sinc resampler + anti-alias
+\t\t        FIR decimator; beyond the reference, ~+60 dB audio SNR)
 \t[-q dc_avg_factor for option rdc (default: 9)]
 \tfilename ('-' means stdout)
 Experimental options:
 \t[-r resample_rate (default: none / same as -s)]
 \t[-t squelch_delay (default: 10)]
 \t\t+values will mute/scan, -values will exit
-\t[-F fir_size (default: off), 0 or 9]
+\t[-F fir_size (default: off)]
+\t\t0 or 9: the reference's fifth-order + droop cascade
+\t\t>9: windowed-sinc anti-alias FIR with that many taps (better SNR)
 \t[-A std/fast/lut/ale choose atan math (default: std)]
 
 Produces signed 16 bit ints, use Sox or aplay to hear them.
@@ -227,8 +231,12 @@ def main(argv=None) -> int:
     cfg = fmchain.FmConfig(
         mode=mode, rate_in=rate_demod, rate_out=rate_out,
         rate_out2=rate_resample if rate_resample > 0 else -1,
-        downsample=1, downsample_passes=1 if fir_size >= 0 else 0,
-        comp_fir_size=fir_size if fir_size > 0 else 0,
+        downsample=1,
+        downsample_passes=1 if 0 <= fir_size <= 9 else 0,
+        comp_fir_size=fir_size if fir_size == 9 else 0,
+        fir_quality=(fir_size if fir_size > 9 else
+                     (64 if "hq" in enables else 0)),
+        resample_quality=32 if "hq" in enables else 0,
         custom_atan=ops.disc_mode(atan_name),
         post_downsample=post_downsample, deemph_a=deemph_a,
         dc_block_audio=("dc" in enables or "adc" in enables),

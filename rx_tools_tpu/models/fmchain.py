@@ -30,7 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from rx_tools_tpu import ops
-from rx_tools_tpu.ops.resample import ResampleState, resample_rational
+from rx_tools_tpu.ops.polyfir import PolyFirState, design_lowpass, fir_decimate
+from rx_tools_tpu.ops.resample import (
+    ResampleState, SincResampleState, resample_rational, resample_sinc)
 
 MODES = ("fm", "am", "usb", "lsb", "raw")
 
@@ -53,6 +55,8 @@ class FmConfig:
     downsample_passes: int = 0     # 0 => boxcar; else fifth-order cascade
     comp_fir_size: int = 0         # 9 => droop compensation FIR
     custom_atan: int = 0           # DISC_* mode
+    fir_quality: int = 0           # >9: windowed-sinc taps (ops.polyfir)
+    resample_quality: int = 0      # >0: polyphase sinc resampler taps
     post_downsample: int = 1
     deemph_a: int = 0              # 0 disables
     dc_block_audio: bool = False
@@ -87,6 +91,8 @@ class FmState(NamedTuple):
     dc_avg: jnp.ndarray           # ()
     resamp: ResampleState
     squelch_hits: jnp.ndarray     # () int32
+    polyfir: PolyFirState         # (taps-1, 2); dummy (1,2) when unused
+    sincresamp: SincResampleState # (taps,) tail; dummy when unused
 
 
 def init_state(cfg: FmConfig) -> FmState:
@@ -102,6 +108,8 @@ def init_state(cfg: FmConfig) -> FmState:
         # reference starts "muted": squelch_hits = 11 > conseq 10
         # (rtl_fm.c:1089-1091)
         squelch_hits=jnp.array(cfg.conseq_squelch + 1, jnp.int32),
+        polyfir=PolyFirState.init(max(cfg.fir_quality, 2)),
+        sincresamp=SincResampleState.init(max(cfg.resample_quality, 2)),
     )
 
 
@@ -162,11 +170,17 @@ def fm_chain_step_impl(cfg: FmConfig, state: FmState, block):
         x = ops.rotate_fs4(x)
 
     # --- capture decimation (full_demod head, rtl_fm.c:763-779) ---
-    fifth, droop = state.fifth, state.droop
+    fifth, droop, polyfir = state.fifth, state.droop, state.polyfir
     if cfg.downsample_passes:
         fifth, x = ops.fifth_order_cascade(fifth, x, cfg.downsample_passes)
         if cfg.comp_fir_size == 9:
             droop, x = ops.droop_fir(droop, x, cfg.downsample_passes)
+        boxcar = state.boxcar
+    elif cfg.fir_quality > 9:
+        # beyond-reference: windowed-sinc polyphase anti-alias decimator
+        taps = jnp.asarray(design_lowpass(cfg.fir_quality,
+                                          1.0 / cfg.downsample))
+        polyfir, x = fir_decimate(polyfir, x, taps, cfg.downsample)
         boxcar = state.boxcar
     else:
         # aligned static boxcar: block_samples guarantees divisibility
@@ -196,7 +210,8 @@ def fm_chain_step_impl(cfg: FmConfig, state: FmState, block):
     elif cfg.mode == "raw":
         audio = x.reshape(-1)
         return (state._replace(dc_iq=dc_iq, fifth=fifth, droop=droop,
-                               boxcar=boxcar, squelch_hits=squelch_hits),
+                               boxcar=boxcar, squelch_hits=squelch_hits,
+                               polyfir=polyfir),
                 audio, jnp.int32(audio.shape[0]), level)
     else:
         raise ValueError(cfg.mode)
@@ -211,15 +226,22 @@ def fm_chain_step_impl(cfg: FmConfig, state: FmState, block):
     if cfg.dc_block_audio:
         dc_avg, audio = ops.dc_block_audio(dc_avg, audio)
     resamp = state.resamp
+    sincresamp = state.sincresamp
     if cfg.rate_out2 > 0:
-        resamp, audio, n_valid = resample_rational(
-            resamp, audio, cfg.rate_out, cfg.rate_out2)
+        if cfg.resample_quality > 0:
+            sincresamp, audio, n_valid = resample_sinc(
+                sincresamp, audio, cfg.rate_out, cfg.rate_out2,
+                taps=cfg.resample_quality)
+        else:
+            resamp, audio, n_valid = resample_rational(
+                resamp, audio, cfg.rate_out, cfg.rate_out2)
     else:
         n_valid = jnp.int32(audio.shape[0])
 
     new_state = FmState(dc_iq=dc_iq, boxcar=boxcar, fifth=fifth, droop=droop,
                         prev_iq=prev_iq, deemph_avg=deemph_avg, dc_avg=dc_avg,
-                        resamp=resamp, squelch_hits=squelch_hits)
+                        resamp=resamp, squelch_hits=squelch_hits,
+                        polyfir=polyfir, sincresamp=sincresamp)
     return new_state, audio, n_valid, level
 
 

@@ -45,8 +45,9 @@ from rx_tools_tpu.ops.resample import resample_rational
 
 def supports(cfg: fmchain.FmConfig) -> bool:
     """Configs the flat formulation covers (the common/hot ones)."""
-    return cfg.downsample_passes == 0 and cfg.mode in ("fm", "am", "usb",
-                                                       "lsb", "raw")
+    return (cfg.downsample_passes == 0 and cfg.fir_quality <= 9
+            and cfg.resample_quality == 0
+            and cfg.mode in ("fm", "am", "usb", "lsb", "raw"))
 
 
 def _ema_scan(means, prev, block_const: int):
@@ -153,5 +154,6 @@ def fm_chunk_step(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
     new_state = fmchain.FmState(
         dc_iq=dc_iq, boxcar=state.boxcar, fifth=state.fifth,
         droop=state.droop, prev_iq=prev_iq, deemph_avg=deemph_avg,
-        dc_avg=dc_avg, resamp=resamp, squelch_hits=squelch_hits)
+        dc_avg=dc_avg, resamp=resamp, squelch_hits=squelch_hits,
+        polyfir=state.polyfir, sincresamp=state.sincresamp)
     return new_state, audio, n_valid, levels

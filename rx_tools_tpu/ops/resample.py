@@ -19,6 +19,77 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
+
+
+class SincResampleState(NamedTuple):
+    """Carry for :func:`resample_sinc`: FIR tail + exact rational phase."""
+    tail: jnp.ndarray      # (T,) trailing input samples
+    num: jnp.ndarray       # () int32: phase numerator (units of 1/slow input)
+
+    @staticmethod
+    def init(taps: int):
+        return SincResampleState(jnp.zeros((taps,), jnp.float32),
+                                 jnp.zeros((), jnp.int32))
+
+
+def _sinc_phase_lut(taps: int, phases: int, cutoff: float) -> np.ndarray:
+    """(phases, taps) windowed-sinc interpolation weights, unity gain."""
+    w = np.empty((phases, taps), np.float32)
+    center = (taps - 1) / 2.0
+    for p in range(phases):
+        frac = p / phases
+        t = np.arange(taps) - center - frac
+        h = np.sinc(cutoff * t) * cutoff * np.kaiser(taps, 8.6)
+        w[p] = h / h.sum()
+    return w
+
+
+def resample_sinc(state: SincResampleState, x, fast: int, slow: int,
+                  taps: int = 16, phases: int = 128):
+    """High-quality arbitrary-ratio resampler — beyond the reference.
+
+    The reference's ``low_pass_real`` is an accumulate-and-dump with
+    alternating window lengths; measured it caps the whole wbfm chain at
+    ~21 dB audio SNR while the chain upstream delivers ~70 dB
+    (docs/PERF.md).  This is the classic polyphase windowed-sinc
+    interpolator instead: output ``k`` sits at input position
+    ``(num0 + k*fast) / slow``; the integer part indexes a ``taps``-wide
+    gather, the fractional part selects one of ``phases`` precomputed
+    Kaiser-sinc weight rows.  Fully parallel (gather + weighted sum), no
+    scan.  Enabled by ``FmConfig.resample_quality = taps``.
+
+    Returns ``(state, y, n_valid)`` with static capacity like
+    :func:`resample_rational`; gain is the reference-compatible window
+    average (unity).
+    """
+    import math as _m
+    g = _m.gcd(int(fast), int(slow))
+    fast, slow = int(fast) // g, int(slow) // g
+    n = x.shape[0]
+    cap = n * slow // fast + 2
+    if cap * fast + slow >= 2 ** 31:
+        raise ValueError("block too large for int32 resampler phase")
+    lut = jnp.asarray(_sinc_phase_lut(taps, phases, min(1.0, slow / fast)))
+    xp = jnp.concatenate([state.tail, x])               # (T + N,)
+    k = jnp.arange(cap, dtype=jnp.int32)
+    num = state.num + k * jnp.int32(fast)               # position*slow
+    idx = num // jnp.int32(slow)                        # integer input index
+    frac = num - idx * jnp.int32(slow)
+    ph = (frac * jnp.int32(phases)) // jnp.int32(slow)
+    # window for output k: xp[idx + 0 .. idx + T - 1] (tail supplies history)
+    valid = idx + taps - 1 < xp.shape[0]
+    idxc = jnp.clip(idx, 0, xp.shape[0] - taps)
+    windows = xp[idxc[:, None] + jnp.arange(taps)[None, :]]   # (cap, T)
+    weights = lut[ph]                                          # (cap, T)
+    y = jnp.sum(windows * weights, axis=1)
+    y = jnp.where(valid, y, 0.0)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # carry: keep the last T inputs; advance num by consumed inputs
+    consumed = n                                           # all inputs consumed
+    new_num = state.num + n_valid * jnp.int32(fast) - consumed * jnp.int32(slow)
+    return (SincResampleState(xp[-taps:], new_num.astype(jnp.int32)),
+            y, n_valid)
 
 
 class ResampleState(NamedTuple):
