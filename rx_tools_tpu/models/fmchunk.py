@@ -18,12 +18,14 @@ re-derives the chain so an (M, 2N) chunk is ONE parallel program:
 - rational resampler: cumsum + emission mask (ops.resample_rational),
   inherently scan-free, now over the whole chunk.
 
-Only log-depth collectives remain on the critical path; measured ~3x the
-scanned formulation at the bench geometry (docs/PERF.md).  Semantics match
-``scan_fm_blocks`` exactly for the supported configs (golden-tested); the
-boxcar path requires block-aligned decimation (which ``block_samples``
-guarantees) and ``downsample_passes == 0`` falls back is NOT handled here
-— the chunked runner picks the right engine.
+Only log-depth scans remain on the critical path.  Measured (docs/PERF.md):
+ties with the scanned engine at the 262k-block bench geometry (the scan's
+per-iteration body is huge, so its overhead amortizes) and wins ~45% at
+small blocks where scan overhead bites; bench.py runs both and reports the
+better.  Semantics match ``scan_fm_blocks`` exactly for the supported
+configs (golden-tested, including mixed-engine chains); unsupported
+configs (fifth-order cascade, HQ resampler) stay on the scanned engine —
+check :func:`supports`.
 
 Returns one flat audio stream per chunk plus per-block levels for the
 squelch/hop control, and the same carried state pytree as fm_chain_step so
