@@ -11,6 +11,8 @@ keyed by the same ``-d`` query-string convention:
 - ``-d synth=fm[,audio=1k][,dev=75k][,snr=...]``        — synthetic signals
   (tones through FM/AM/USB/LSB modulators, noise, sweeps) for tests and
   benchmarks.
+- ``-d rtltcp=host[:port]``                             — remote hardware
+  over the rtl_tcp network protocol (iq/rtltcp.py).
 - ``""`` (empty, the reference default)                 — first available =
   synthetic silence-with-noise.
 
@@ -311,6 +313,10 @@ def make_source(query: str | dict) -> Source:
         return FileSource(p)
     if "synth" in kw or kw.get("driver") == "synth":
         return SynthSource(kw)
+    if "rtltcp" in kw or kw.get("driver") == "rtltcp":
+        # network hardware path: rtl_tcp protocol client (iq/rtltcp.py)
+        from rx_tools_tpu.iq import rtltcp
+        return rtltcp.RtlTcpSource(kw)
     if "driver" in kw:
         # hardware path: SoapySDR by driver query, exactly like the
         # reference's -d driver=rtlsdr (convenience.c:469-489)
