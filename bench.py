@@ -2,11 +2,18 @@
 
 Drives the full rx_fm WBFM chain — capture rescale, fs/4 rotate, decimate
 2.4 Msps -> ~171 kHz, fast-atan discriminator, 75 us deemphasis, rational
-resample to 32 kHz audio — over device-resident I/Q blocks with one
-``lax.scan`` dispatch per chunk, and reports I/Q samples processed per
-second.  ``vs_baseline`` is the real-time multiple at 2.4 Msps input; the
+resample to 32 kHz audio — and reports I/Q samples processed per second.
+``vs_baseline`` is the real-time multiple at 2.4 Msps input; the
 reference's qualitative bar is 1.0 (real-time on weak CPUs,
 ``src/rtl_fm.c:24-26``), the driver target is >= 10.
+
+Measurement methodology (docs/PERF.md "Measuring honestly"): K chain
+iterations run INSIDE one compiled program with the carried DSP state
+threading through every iteration, so (a) XLA cannot hoist or CSE the work
+(each iteration's output depends on the previous state), and (b) host/RPC
+round-trip latency — which on a tunneled TPU both inflates pipelined
+wall-clock rates and breaks ``block_until_ready`` — is differenced out by
+timing two K values and fetching a scalar result to force completion.
 
 Prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -18,14 +25,21 @@ import time
 
 import numpy as np
 
-
 RATE_IN_CAPTURE = 2_400_000     # config #1: 2.4 Msps I/Q input
 AUDIO_OUT = 32_000
 
 
 def main():
+    import os
     import jax
+    try:        # persistent compile cache: re-runs skip the big jit compiles
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jaxcache"))
+    except Exception:
+        pass
     import jax.numpy as jnp
+    from functools import partial
 
     from rx_tools_tpu import ops
     from rx_tools_tpu.models import fmchain, fmchunk
@@ -39,40 +53,74 @@ def main():
         downsample=downsample, custom_atan=1,
         deemph_a=ops.deemph_alpha(rate_in, 75), squelch_level=0.0)
 
-    # block geometry: ~262k complex samples x 12 blocks/dispatch — the
-    # measured sweet spot on v5e that both engines support (the flat
-    # engine's resampler phase must fit int32; docs/PERF.md)
+    # block geometry: ~262k complex samples x 12 blocks/chunk (the flat
+    # engine's int32 resampler phase bounds audio samples per call, and
+    # compile time bounds both the block count and the block size);
+    # N_CHUNKS distinct device-resident chunks so every iteration streams
+    # FRESH data from HBM — nothing is loop-invariant and XLA can neither
+    # hoist nor CSE the capture work between iterations
     n = fmchain.block_samples(cfg, target=262144)
     blocks_per_chunk = 12
+    N_CHUNKS = 4
     rng = np.random.default_rng(0)
-    # synthetic FM-ish content (noise is fine: throughput is data-independent)
-    chunk = rng.integers(-16000, 16000,
-                         (blocks_per_chunk, 2 * n)).astype(np.int16)
-    chunk_dev = jax.device_put(chunk)
-    state = fmchain.init_state(cfg)
+    data = rng.integers(-16000, 16000,
+                        (N_CHUNKS, blocks_per_chunk, 2 * n)).astype(np.int16)
+    data_dev = jax.device_put(data)
+    state0 = fmchain.init_state(cfg)
+    work = blocks_per_chunk * n          # I/Q samples per chain iteration
 
-    def measure(engine):
-        st, audio, nv, lv = engine(cfg, state, chunk_dev)   # compile + warm
-        jax.block_until_ready(audio)
-        t0 = time.perf_counter()
-        iters = 0
-        st = state
-        while True:
-            st, audio, nv, lv = engine(cfg, st, chunk_dev)
-            iters += 1
-            if iters % 4 == 0:
-                jax.block_until_ready(audio)
-                if time.perf_counter() - t0 > 3.0:
-                    break
-        jax.block_until_ready(audio)
-        dt = time.perf_counter() - t0
-        return iters * blocks_per_chunk * n / dt
+    def make_run(engine, n_chunks):
+        """Process the first ``n_chunks`` resident chunks in ONE program,
+        measured so XLA cannot cheat:
 
-    # two equivalent engines (golden-tested identical): lax.scan over
-    # blocks, and the scan-free flat formulation (models/fmchunk.py);
-    # report the better of the two on this chip/run
-    results = {"scan": measure(scan_fm_blocks),
-               "flat": measure(fmchunk.fm_chunk_step)}
+        - every chunk is distinct data (static index into the resident
+          array), so no capture-rate work is loop-invariant or CSE-able;
+        - the carried DSP state threads through all chunks, so the chain
+          semantics are the real streaming semantics;
+        - the returned scalar folds in a checksum of every output, so dead
+          -code elimination cannot prune the audio/resampler/levels work;
+        - fetching the scalar to the host forces completion (on a tunneled
+          TPU, ``block_until_ready`` alone does not)."""
+        @jax.jit
+        def run(st):
+            acc = jnp.zeros(())
+            for c in range(n_chunks):
+                st, audio, n_valid, levels = engine(cfg, st, data_dev[c])
+                acc = (acc + jnp.sum(audio)
+                       + n_valid.sum().astype(jnp.float32) + jnp.sum(levels))
+            return acc + st.deemph_avg + st.prev_iq[0]
+        return run
+
+    def measure(engine, k1, k2, reps=14):
+        """Marginal device time per chunk: median(t(k2)) - median(t(k1)).
+        The tunnel RPC adds ~30 ms +/- ms-scale jitter to every call;
+        differencing removes the mean and the median tames the jitter."""
+        import statistics
+        r1, r2 = make_run(engine, k1), make_run(engine, k2)
+        float(r1(state0))                       # compile + first-fetch path
+        float(r2(state0))
+        t1s, t2s = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter(); float(r1(state0))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(r2(state0))
+            t2s.append(time.perf_counter() - t0)
+        dt = (statistics.median(t2s) - statistics.median(t1s)) / (k2 - k1)
+        if dt <= 0:
+            return 0.0                          # jitter swamped the marginal
+        return work / dt
+
+    # two equivalent engines (golden-tested identical): the per-block
+    # traced-loop engine and the scan-free flat formulation
+    # (models/fmchunk.py); report the better of the two on this chip/run
+    # the chip's delivered rate fluctuates over seconds (shared tunnel /
+    # power states): take the median of 3 measurement rounds per engine
+    import statistics
+    rounds = {"scan": [measure(scan_fm_blocks, 1, N_CHUNKS)
+                       for _ in range(3)],
+              "flat": [measure(fmchunk.fm_chunk_step, 1, N_CHUNKS)
+                       for _ in range(3)]}
+    results = {k: statistics.median(v) for k, v in rounds.items()}
     engine, rate = max(results.items(), key=lambda kv: kv[1])
     print(json.dumps({
         "metric": "wbfm_demod_throughput_per_chip",
@@ -82,7 +130,8 @@ def main():
     }))
     print(f"# engine={engine} block={n} chunk={blocks_per_chunk} "
           f"backend={jax.default_backend()} "
-          f"all={{{', '.join(f'{k}: {v/1e9:.2f}G' for k, v in results.items())}}}",
+          f"all={{{', '.join(f'{k}: {v/1e9:.2f}G' for k, v in results.items())}}} "
+          f"rounds={{{', '.join(f'{k}: ' + '/'.join(f'{x/1e9:.1f}' for x in v) for k, v in rounds.items())}}}",
           file=sys.stderr)
 
 

@@ -18,11 +18,12 @@ re-derives the chain so an (M, 2N) chunk is ONE parallel program:
 - rational resampler: cumsum + emission mask (ops.resample_rational),
   inherently scan-free, now over the whole chunk.
 
-Only log-depth scans remain on the critical path.  Measured (docs/PERF.md):
-ties with the scanned engine at the 262k-block bench geometry (the scan's
-per-iteration body is huge, so its overhead amortizes) and wins ~45% at
-small blocks where scan overhead bites; bench.py runs both and reports the
-better.  Semantics match ``scan_fm_blocks`` exactly for the supported
+Only log-depth scans remain on the critical path.  Measured (docs/PERF.md
+"the dynamic-slice cliff"): on TPU this and the traced-loop engine
+(``stream/scan.py``, which unrolls its block loop with static indices for
+the same reason) overlap within the chip's run-to-run variance; bench.py
+runs both and reports the better.  Semantics match ``scan_fm_blocks``
+exactly for the supported
 configs (golden-tested, including mixed-engine chains); unsupported
 configs (fifth-order cascade, HQ resampler) stay on the scanned engine —
 check :func:`supports`.

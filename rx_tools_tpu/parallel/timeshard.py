@@ -104,24 +104,29 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
         st = st._replace(resamp=st.resamp._replace(
             phase=phase0.astype(jnp.int32)))
 
-        def body(carry, blk):
-            carry, audio, n_valid, level = fmchain.fm_chain_step_impl(
-                cfg, carry, blk)
-            return carry, (audio, n_valid)
-
         # the carry differs per device from step 1 on: mark it varying
         def _varying(a):
             if "t" in getattr(jax.typeof(a), "vma", ()):
                 return a
             return jax.lax.pcast(a, ("t",), to="varying")
         st = jax.tree.map(_varying, st)
+        # Traced Python loops with static block indices, not lax.scan:
+        # rolled-scan dynamic-slices cost ~1.6 ms per MB-sized block read on
+        # TPU (see stream/scan.py, docs/PERF.md "the dynamic-slice cliff").
         # warm-up replay (outputs discarded)
-        st, _ = jax.lax.scan(body, st, halo)
+        for i in range(halo.shape[0]):
+            st, _, _, _ = fmchain.fm_chain_step_impl(cfg, st, halo[i])
         # shard 0 replayed zeros; reset its IIR/seam state back to init
         fresh = fmchain.init_state(cfg)
         st = jax.tree.map(
             lambda warmed, f: jnp.where(idx == 0, f, warmed), st, fresh)
-        st, (audio, n_valid) = jax.lax.scan(body, st, blocks)
+        audio, n_valid = [], []
+        for i in range(blocks.shape[0]):
+            st, a, nv, _ = fmchain.fm_chain_step_impl(cfg, st, blocks[i])
+            audio.append(a)
+            n_valid.append(nv)
+        audio = jnp.stack(audio)
+        n_valid = jnp.stack(n_valid)
         return audio[None], n_valid[None]
 
     spec = P("t", None, None)

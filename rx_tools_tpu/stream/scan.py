@@ -18,6 +18,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rx_tools_tpu.models import fmchain
@@ -35,12 +36,19 @@ def scan_fm_blocks(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
 
     Returns ``(state, audio (M, cap), n_valid (M,), levels (M,))``.
     """
-    def body(st, blk):
-        st, audio, n_valid, level = fmchain.fm_chain_step_impl(cfg, st, blk)
-        return st, (audio, n_valid, level)
-
-    state, (audio, n_valid, levels) = jax.lax.scan(body, state, blocks)
-    return state, audio, n_valid, levels
+    # A traced Python loop with static block indices, NOT lax.scan: a rolled
+    # scan reads block k with a dynamic-slice each iteration, which on TPU
+    # costs ~1.6 ms per MB-sized slice (measured 20 ms vs 0.094 ms per
+    # 12-block chunk, 200x) — and lax.scan's unroll option still emits
+    # dynamic indexing, so only static blocks[i] gets the fast path
+    # (docs/PERF.md "the dynamic-slice cliff").
+    audio, n_valid, levels = [], [], []
+    for i in range(blocks.shape[0]):
+        state, a, nv, lv = fmchain.fm_chain_step_impl(cfg, state, blocks[i])
+        audio.append(a)
+        n_valid.append(nv)
+        levels.append(lv)
+    return (state, jnp.stack(audio), jnp.stack(n_valid), jnp.stack(levels))
 
 
 def gather_valid(audio: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
