@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rx_tools_tpu import ops
-from rx_tools_tpu.ops.resample import ResampleState, resample_rational
+from rx_tools_tpu.ops.resample import (
+    ResampleState, resample_rational, resample_rational_batch)
 
 
 @dataclass(frozen=True)
@@ -79,6 +80,78 @@ def block_samples(cfg: ChannelizerConfig, target: int = 65536) -> int:
     return max(1, -(-target // step)) * step
 
 
+def demod_tail(cfg, prev, davg, racc, rphase, zc):
+    """Per-channel demod tail (``full_demod``'s post-decimation half,
+    ``src/rtl_fm.c:808-823``): discriminate/detect -> deemph -> resample.
+
+    ``cfg`` duck-types ``mode / custom_atan / output_scale / deemph_a /
+    channel_rate / rate_out2`` so both the mixer channelizer and the PFB
+    channelizer (models/pfb.py) share it.  Designed to be ``vmap``-ed over
+    the channel axis.
+    """
+    if cfg.mode == "raw":
+        audio = zc.reshape(-1)
+        return prev, davg, racc, rphase, audio, jnp.int32(audio.shape[0])
+    if cfg.mode == "fm":
+        prev, audio = ops.fm_discriminate(prev, zc, cfg.custom_atan)
+    elif cfg.mode == "am":
+        audio = ops.am_demod(zc, cfg.output_scale)
+    elif cfg.mode == "usb":
+        audio = ops.usb_demod(zc, cfg.output_scale)
+    elif cfg.mode == "lsb":
+        audio = ops.lsb_demod(zc, cfg.output_scale)
+    else:
+        raise ValueError(cfg.mode)
+    if cfg.deemph_a:
+        davg, audio = ops.deemph_filter(davg, audio, cfg.deemph_a)
+    if cfg.rate_out2 > 0:
+        rst, audio, nv = resample_rational(
+            ResampleState(racc, rphase), audio,
+            cfg.channel_rate, cfg.rate_out2)
+        racc, rphase = rst.acc, rst.phase
+    else:
+        nv = jnp.int32(audio.shape[0])
+    return prev, davg, racc, rphase, audio, nv
+
+
+def demod_tail_batch(cfg, prev, davg, racc, rphase, z):
+    """Batched :func:`demod_tail` over the channel axis: ``z`` (C, M, 2).
+
+    Identical semantics (tested), but every stage is one batched op
+    instead of C vmapped copies: the discriminator seam is a concatenate
+    (not C scatters), the deemph scan runs along axis -1, and the
+    resampler computes its (data-independent, channel-identical) emission
+    indices once and gathers along them (ops.resample_rational_batch).
+    Returns ``(prev, davg, racc, rphase, audio (C, cap), n_valid (C,))``.
+    """
+    c_ch = z.shape[0]
+    if cfg.mode == "raw":
+        audio = z.reshape(c_ch, -1)
+        return (prev, davg, racc, rphase, audio,
+                jnp.full((c_ch,), audio.shape[1], jnp.int32))
+    if cfg.mode == "fm":
+        prev, audio = ops.fm_discriminate_batch(prev, z, cfg.custom_atan)
+    elif cfg.mode == "am":
+        audio = ops.am_demod(z.reshape(-1, 2), cfg.output_scale).reshape(c_ch, -1)
+    elif cfg.mode == "usb":
+        audio = ops.usb_demod(z.reshape(-1, 2), cfg.output_scale).reshape(c_ch, -1)
+    elif cfg.mode == "lsb":
+        audio = ops.lsb_demod(z.reshape(-1, 2), cfg.output_scale).reshape(c_ch, -1)
+    else:
+        raise ValueError(cfg.mode)
+    if cfg.deemph_a:
+        davg, audio = ops.deemph_filter(davg, audio, cfg.deemph_a, axis=-1)
+    if cfg.rate_out2 > 0:
+        rst, audio, nv = resample_rational_batch(
+            ResampleState(racc, rphase), audio,
+            cfg.channel_rate, cfg.rate_out2)
+        racc, rphase = rst.acc, rst.phase
+        n_valid = jnp.full((c_ch,), nv, jnp.int32)
+    else:
+        n_valid = jnp.full((c_ch,), audio.shape[1], jnp.int32)
+    return prev, davg, racc, rphase, audio, n_valid
+
+
 @partial(jax.jit, static_argnums=0)
 def channelize_step(cfg: ChannelizerConfig, state: ChannelizerState, block):
     """One wideband block -> C audio channels.
@@ -110,31 +183,9 @@ def channelize_step(cfg: ChannelizerConfig, state: ChannelizerState, block):
     m = n // cfg.downsample
     z = mixed.reshape(cfg.n_channels, m, cfg.downsample, 2).sum(axis=2)
 
-    # --- vmapped demod tail --------------------------------------------
-    def tail(prev, davg, racc, rphase, zc):
-        if cfg.mode == "fm":
-            prev, audio = ops.fm_discriminate(prev, zc, cfg.custom_atan)
-        elif cfg.mode == "am":
-            audio = ops.am_demod(zc, cfg.output_scale)
-        elif cfg.mode == "usb":
-            audio = ops.usb_demod(zc, cfg.output_scale)
-        elif cfg.mode == "lsb":
-            audio = ops.lsb_demod(zc, cfg.output_scale)
-        else:
-            raise ValueError(cfg.mode)
-        if cfg.deemph_a:
-            davg, audio = ops.deemph_filter(davg, audio, cfg.deemph_a)
-        if cfg.rate_out2 > 0:
-            rst, audio, nv = resample_rational(
-                ResampleState(racc, rphase), audio,
-                cfg.channel_rate, cfg.rate_out2)
-            racc, rphase = rst.acc, rst.phase
-        else:
-            nv = jnp.int32(audio.shape[0])
-        return prev, davg, racc, rphase, audio, nv
-
-    prev, davg, racc, rphase, audio, n_valid = jax.vmap(tail)(
-        state.prev_iq, state.deemph_avg, state.resamp.acc,
+    # --- batched demod tail ----------------------------------------------
+    prev, davg, racc, rphase, audio, n_valid = demod_tail_batch(
+        cfg, state.prev_iq, state.deemph_avg, state.resamp.acc,
         state.resamp.phase, z)
 
     new_state = ChannelizerState(

@@ -1,0 +1,161 @@
+"""Polyphase filterbank (PFB) channelizer — D uniform channels for ~2 passes.
+
+``models/channelizer.py`` mixes each station down with its own NCO: flexible
+(arbitrary offsets) but O(C·N) with two transcendentals per channel-sample —
+measured 16.8M cos/sin per 131k block at C=64, which dominates its runtime
+(docs/PERF.md).  When the channels sit on a uniform grid (the common case:
+FM band scanning, trunked radio, multi-carrier monitoring), the classic
+critically-sampled PFB computes ALL D channels at once:
+
+    y[m, c] = sum_n h[n] * x[m*D - n] * exp(-j*2*pi*c*n/D)
+
+which factors into (1) a depthwise length-T FIR over stride-D polyphase
+branches and (2) one D-point FFT across the branch axis per output step —
+O(N·T + N·log D) total, independent of how many of the D channels you
+keep.  Channel c is centered at +c*fs/D (c > D/2 alias to negative
+frequencies); the per-channel stopband is the Kaiser prototype's (~ -90 dB
+class), vs the mixer channelizer's boxcar decimator at -13 dB.
+
+The demod tail (discriminator -> deemph -> audio resample, per channel) is
+shared with the mixer channelizer (``channelizer.demod_tail``,
+``src/rtl_fm.c:808-823`` semantics).  No counterpart exists in the
+reference — it needs one process + one dongle per station.
+
+TPU mapping: the branch FIR is a depthwise `conv_general_dilated` over a
+`(2D, M+T-1)` layout (I/Q × branches as feature groups), the FFT is one
+batched `jnp.fft.fft` — both dense, static-shaped, fusion-friendly; no
+gathers, no transcendentals outside the FFT.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rx_tools_tpu import ops
+from rx_tools_tpu.models import channelizer as _chan
+from rx_tools_tpu.ops.polyfir import design_lowpass
+from rx_tools_tpu.ops.resample import ResampleState
+
+
+@dataclass(frozen=True)
+class PfbConfig:
+    """Static config: D uniform channels == decimation factor D."""
+    capture_rate: int
+    n_channels: int                  # D: channel count == decimation
+    taps_per_branch: int = 8         # T: prototype length is T*D
+    mode: str = "fm"
+    custom_atan: int = 0
+    deemph_a: int = 0
+    rate_out2: int = -1              # per-channel audio resample target
+    output_scale: int = 1
+    beta: float = 8.6                # Kaiser prototype shape
+
+    @property
+    def channel_rate(self) -> int:
+        return self.capture_rate // self.n_channels
+
+    def channel_freqs(self, center: float = 0.0):
+        """Channel center frequencies (Hz offsets from the capture center);
+        channel c sits at +c*fs/D, c >= D/2 wraps negative."""
+        d = self.n_channels
+        fs = self.capture_rate
+        return [center + (c if c < d / 2 else c - d) * fs / d
+                for c in range(d)]
+
+
+class PfbState(NamedTuple):
+    tail: jnp.ndarray              # (T*D, 2) trailing input samples
+    prev_iq: jnp.ndarray           # (D, 2) per-channel discriminator seam
+    deemph_avg: jnp.ndarray        # (D,)
+    resamp: ResampleState          # (D,) acc / phase
+
+
+def init_state(cfg: PfbConfig) -> PfbState:
+    d, t = cfg.n_channels, cfg.taps_per_branch
+    return PfbState(
+        tail=jnp.zeros((t * d, 2), jnp.float32),
+        prev_iq=jnp.zeros((d, 2), jnp.float32),
+        deemph_avg=jnp.zeros((d,), jnp.float32),
+        resamp=ResampleState(jnp.zeros((d,), jnp.float32),
+                             jnp.zeros((d,), jnp.int32)))
+
+
+def block_samples(cfg: PfbConfig, target: int = 131072) -> int:
+    """Block size (complex samples) aligned to the channel count."""
+    step = cfg.n_channels
+    return max(1, -(-target // step)) * step
+
+
+def _prototype(cfg: PfbConfig) -> np.ndarray:
+    """Kaiser-sinc prototype, cutoff = one channel width (fs/D)."""
+    return design_lowpass(cfg.taps_per_branch * cfg.n_channels,
+                          1.0 / cfg.n_channels, cfg.beta)
+
+
+def filterbank(cfg: PfbConfig, tail, block):
+    """The filterbank front half: block -> (new_tail, z (D, M, 2)).
+
+    ``tail``: (T*D, 2) carried input history.  Also usable standalone for
+    spectral monitoring or custom per-channel DSP.
+    """
+    d, t = cfg.n_channels, cfg.taps_per_branch
+    x = block.astype(jnp.float32).reshape(-1, 2) * jnp.float32(128.0 / 32767.0)
+    n = x.shape[0]
+    assert n % d == 0, (n, d)
+    m = n // d
+
+    h = jnp.asarray(_prototype(cfg))                        # (T*D,)
+    # hp2[t, q] = h[(T-1-t)*D + (D-1-q)]: the branch FIR taps arranged so
+    # W[m, q] = sum_t Y[m+t, q] * hp2[t, q] realizes sum_n h[n] x[mD - n]
+    # split by n mod D (derivation: n = T*D - 1 - (t*D + q))
+    hp2 = h.reshape(t, d)[::-1, ::-1]                       # (T, D)
+
+    xp = jnp.concatenate([tail, x], axis=0)                 # (T*D + N, 2)
+    # polyphase frames: Y[k, q] = xp[k*D + 1 + q], k = 0 .. M+T-2
+    y_fr = jax.lax.slice(xp, (1, 0), (1 + (m + t - 1) * d, 2))
+    y_fr = y_fr.reshape(m + t - 1, d, 2)                    # (M+T-1, D, 2)
+
+    # depthwise FIR along the frame axis, per (branch, component) channel
+    lhs = y_fr.reshape(m + t - 1, 2 * d).T[None]            # (1, 2D, M+T-1)
+    rhs = jnp.repeat(hp2.T[:, None, :], 2, axis=0
+                     ).reshape(2 * d, 1, t)                 # (2D, 1, T)
+    w = jax.lax.conv_general_dilated(
+        lhs, rhs[:, :, ::-1],                               # correlation
+        window_strides=(1,), padding="VALID",
+        feature_group_count=2 * d)[0]                       # (2D, M)
+    w = w.T.reshape(m, d, 2)                                # (M, D, 2)
+
+    # u[m, p] = W[m, D-1-p]; channel c = sum_p u[m,p] e^{+j2pi c p/D} so
+    # that channel c sits at +c*fs/D — that positive-exponent kernel is
+    # ifft*D; the extra D matches the mixer channelizer's boxcar-sum gain
+    u = (w[:, ::-1, 0] + 1j * w[:, ::-1, 1]) * jnp.float32(d)
+    ch = jnp.fft.ifft(u, axis=1) * jnp.float32(d)           # (M, D) complex
+    z = jnp.stack([jnp.real(ch), jnp.imag(ch)], axis=-1)    # (M, D, 2)
+    z = jnp.swapaxes(z, 0, 1).astype(jnp.float32)           # (D, M, 2)
+    return xp[-(t * d):], z
+
+
+@partial(jax.jit, static_argnums=0)
+def pfb_step(cfg: PfbConfig, state: PfbState, block):
+    """One wideband block -> D channels, demodulated.
+
+    ``block``: (2N,) int16 at capture_rate, N % D == 0.  Returns
+    ``(state, audio (D, cap), n_valid (D,))`` — same contract as
+    ``channelizer.channelize_step``.
+    """
+    tail, z = filterbank(cfg, state.tail, block)
+
+    prev, davg, racc, rphase, audio, n_valid = _chan.demod_tail_batch(
+        cfg, state.prev_iq, state.deemph_avg, state.resamp.acc,
+        state.resamp.phase, z)
+
+    new_state = PfbState(tail=tail, prev_iq=prev, deemph_avg=davg,
+                         resamp=ResampleState(racc, rphase))
+    return new_state, audio, n_valid

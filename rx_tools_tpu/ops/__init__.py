@@ -19,7 +19,8 @@ from rx_tools_tpu.ops.fir import (
 )
 from rx_tools_tpu.ops.discriminators import (
     polar_discriminant, fast_atan2, polar_disc_fast, esbensen_disc,
-    fm_discriminate, disc_mode, DISC_STD, DISC_FAST, DISC_LUT, DISC_ALE,
+    fm_discriminate, fm_discriminate_batch, disc_mode,
+    DISC_STD, DISC_FAST, DISC_LUT, DISC_ALE,
 )
 from rx_tools_tpu.ops.demods import am_demod, usb_demod, lsb_demod
 from rx_tools_tpu.ops.filters import (
@@ -29,7 +30,9 @@ from rx_tools_tpu.ops.filters import (
 from rx_tools_tpu.ops.pallas_frontend import (
     capture_frontend, capture_frontend_pallas, capture_frontend_jnp,
 )
-from rx_tools_tpu.ops.resample import resample_divisible, resample_rational, ResampleState
+from rx_tools_tpu.ops.resample import (
+    resample_divisible, resample_rational, resample_rational_batch,
+    ResampleState)
 from rx_tools_tpu.ops.windows import window, WINDOWS
 from rx_tools_tpu.ops.spectrum import (
     segmented_power_spectrum, remove_dc, fftshift_quirks, power_to_dbm,

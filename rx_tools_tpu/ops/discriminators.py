@@ -75,6 +75,32 @@ def esbensen_disc(ar, aj, br, bj):
     return scaled_pi * cj / (ar * ar + aj * aj + 1.0)
 
 
+def fm_discriminate_batch(prev, x, mode: int):
+    """Batched discriminator over a channel stack: ``prev`` (C, 2),
+    ``x`` (C, M, 2) -> ``(new_prev (C, 2), d (C, M))``.
+
+    Same semantics as vmapping :func:`fm_discriminate`, but the per-block
+    seam sample (std atan2 at index 0, rtl_fm.c:588-590) is written with a
+    batched concatenate instead of C scattered 1-element updates — scatters
+    in a vmapped tail measurably dominate the channelizers (docs/PERF.md).
+    """
+    xs = jnp.concatenate([prev[:, None, :], x], axis=1)    # (C, M+1, 2)
+    ar, aj = x[..., 0], x[..., 1]
+    br, bj = xs[:, :-1, 0], xs[:, :-1, 1]
+    cr = ar * br + aj * bj
+    cj = aj * br - ar * bj
+    if mode in (DISC_STD, DISC_LUT):
+        d = polar_discriminant(cr, cj)
+    elif mode in (DISC_FAST, DISC_ALE):
+        d = (polar_disc_fast(cr, cj) if mode == DISC_FAST
+             else esbensen_disc(ar, aj, br, bj))
+        d = jnp.concatenate(
+            [polar_discriminant(cr[:, :1], cj[:, :1]), d[:, 1:]], axis=1)
+    else:
+        raise ValueError(f"bad discriminator mode {mode}")
+    return x[:, -1, :], d
+
+
 def fm_discriminate(prev, x, mode: int, seam_stride: int | None = None):
     """Vectorized FM discriminator over a block (or a whole flat chunk).
 

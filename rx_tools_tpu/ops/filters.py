@@ -30,8 +30,12 @@ def deemph_alpha(rate_out: int, time_constant_us: int) -> int:
     return int(round(1.0 / (1.0 - math.exp(-1.0 / (rate_out * tc)))))
 
 
-def deemph_filter(avg, x, deemph_a: int):
-    """(carry, block) -> (carry, block) one-pole IIR via associative scan."""
+def deemph_filter(avg, x, deemph_a: int, axis: int = 0):
+    """(carry, block) -> (carry, block) one-pole IIR via associative scan.
+
+    ``axis`` selects the time axis: 0 for a flat (N,) stream, -1/1 for a
+    batched (C, N) channel stack (``avg`` then has shape (C,)).
+    """
     inv_a = jnp.float32(1.0 / deemph_a)
     c = jnp.float32(1.0) - inv_a
     # y[n] = c*y[n-1] + inv_a*x[n];   scan over affine maps (A, B)
@@ -41,9 +45,12 @@ def deemph_filter(avg, x, deemph_a: int):
     def compose(l, r):
         return l[0] * r[0], l[1] * r[0] + r[1]
 
-    As, Bs = jax.lax.associative_scan(compose, (A, B))
-    y = Bs + As * avg
-    return y[-1], y
+    As, Bs = jax.lax.associative_scan(compose, (A, B), axis=axis)
+    if axis in (0,) and x.ndim == 1:
+        y = Bs + As * avg
+        return y[-1], y
+    y = Bs + As * avg[..., None]
+    return y[..., -1], y
 
 
 def dc_block_audio(dc_avg, x, block_const: int = 9):

@@ -170,3 +170,61 @@ def resample_rational(state: ResampleState, x, fast: int, slow: int):
     new_phase = (state.phase + n * slow) % fast
     return (ResampleState(new_acc.astype(jnp.float32), new_phase.astype(jnp.int32)),
             y, n_valid)
+
+
+def resample_rational_batch(state: ResampleState, x, fast: int, slow: int):
+    """Batched :func:`resample_rational` over a channel axis: ``x`` (C, N).
+
+    The emission pattern depends only on (phase, fast, slow) — not on the
+    data — and every channel of a channelizer consumes equal-length blocks,
+    so all channels share one phase trajectory.  This computes the
+    positions/masks ONCE and gathers along the shared index vector, instead
+    of vmapping C copies of the index arithmetic and C separate gathers
+    (measured: the vmapped tail dominated the PFB channelizer's runtime —
+    docs/PERF.md).
+
+    ``state.acc``: (C,) per-channel leftovers; ``state.phase``: (C,) int32
+    — identical by construction, element 0 is used.  Returns
+    ``(state, y (C, cap), n_valid ())``.
+    """
+    if fast < slow:
+        raise ValueError(
+            f"resample target {slow} exceeds input rate {fast}: "
+            "low_pass_real only downsamples (use -r below -s)")
+    c_ch, n = x.shape
+    import math as _m
+    g = _m.gcd(int(fast), int(slow))
+    if n * (slow // g) + fast >= 2 ** 31:
+        raise ValueError(
+            f"block of {n} samples overflows the int32 resampler phase for "
+            f"ratio {fast}/{slow}; split the stream into smaller chunks")
+    cap = n * slow // fast + 2
+    divisor = jnp.float32(1.0 / (fast // slow))
+    fast, slow = int(fast) // g, int(slow) // g
+    phase0 = state.phase[0]
+
+    k = jnp.arange(cap)
+    total_emits = (phase0 + n * slow) // fast
+    m = (k + 1) * fast
+    pos = (m - phase0 + slow - 1) // slow - 1            # shared, 0-indexed
+    valid = k < total_emits
+    posc = jnp.clip(pos, 0, n - 1)
+
+    csum = jnp.cumsum(x, axis=1)                          # (C, N)
+    ends = jnp.take(csum, posc, axis=1)                   # (C, cap)
+    starts = jnp.concatenate(
+        [jnp.zeros((c_ch, 1), x.dtype), ends[:, :-1]], axis=1)
+    y = (ends - starts) + jnp.where(k == 0, 1.0, 0.0)[None, :] * state.acc[:, None]
+    y = jnp.where(valid[None, :], y * divisor, 0.0)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    total = csum[:, -1] + state.acc
+    last_pos = jnp.clip((total_emits * fast - phase0 + slow - 1) // slow - 1,
+                        0, n - 1)
+    consumed_end = jnp.where(total_emits > 0,
+                             jnp.take(csum, last_pos[None], axis=1)[:, 0]
+                             + state.acc, 0.0)
+    new_acc = total - consumed_end
+    new_phase = jnp.full((c_ch,), (phase0 + n * slow) % fast, jnp.int32)
+    return (ResampleState(new_acc.astype(jnp.float32), new_phase),
+            y, n_valid)
