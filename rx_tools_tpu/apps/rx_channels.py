@@ -1,0 +1,216 @@
+"""``rx_channels`` — demodulate MANY stations from one capture (beyond
+the reference: rx_fm does exactly one channel per process per dongle,
+``src/rtl_fm.c:189-193`` "multiple of these, eventually").
+
+Two engines:
+
+- ``-n D``: polyphase filterbank (``models/pfb.py``) — D uniform channels
+  spaced fs/D across the capture, one FIR + one FFT for all of them.
+- ``-k f1[,f2,...]``: mixer channelizer (``models/channelizer.py``) —
+  arbitrary station frequencies, ``-D`` sets the per-channel decimation.
+
+Each channel's audio is written to ``<outdir>/chNN_<freq>.s16`` (16-bit
+PCM, same sample format as rx_fm's output).  Device flags mirror the
+other tools (`-d -f -s -g -p -a`).
+
+    # all 64 FM-band channels of a 2.4 Msps capture, 32 kHz audio each
+    rx_channels -f 98M -s 2.4M -n 64 -M fm -A fast -c us -r 32k \\
+                -d file=band.cs16,rate=2.4M out/
+
+    # two named stations through the mixer engine
+    rx_channels -f 100M -s 2.4M -k 100.3M,101.1M -D 16 -r 32k out/
+"""
+
+from __future__ import annotations
+
+import getopt
+import os
+import sys
+
+import numpy as np
+
+from rx_tools_tpu import ops
+from rx_tools_tpu.apps import common
+from rx_tools_tpu.models import channelizer, fmchain, pfb
+from rx_tools_tpu.utils.logging import log
+from rx_tools_tpu.utils.units import atofs
+
+USAGE = """rx_channels (rx_tools_tpu), multi-channel demodulator
+
+Usage:\t -f center_frequency [Hz]
+\t[-s capture samplerate (default: 2400000 Hz)]
+\t[-n channels: polyphase filterbank, n uniform channels]
+\t[-k f1[,f2,...]: mixer engine, explicit station frequencies]
+\t[-D decimation for -k (default: 16)]
+\t[-M mode fm|am|usb|lsb|raw (default: fm)]
+\t[-A std|fast|lut|ale atan mode (default: fast)]
+\t[-c deemphasis us|eu|N_us|off (default: us)]
+\t[-r audio resample rate (default: 32k; 0 = channel rate)]
+\t[-b block size in capture samples (default: 131072)]
+\t[-e exit after N seconds of signal]
+\t[-d device key/value query] [-g gain] [-p ppm] [-a antenna]
+\toutput directory (channel files chNN_<freq>.s16)
+"""
+
+
+def usage():
+    sys.stderr.write(USAGE + "\n")
+    raise SystemExit(1)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    common.select_platform()
+    try:
+        opts, args = getopt.getopt(argv, "f:s:n:k:D:M:A:c:r:b:e:d:g:p:a:")
+    except getopt.GetoptError as e:
+        log("%s", str(e))
+        usage()
+
+    freq = None
+    rate = 2_400_000
+    n_uniform = 0
+    stations: list[float] = []
+    decim = 16
+    mode = "fm"
+    atan = "fast"
+    deemph_arg = "us"
+    rate_out2 = 32_000
+    block_target = 131072
+    exit_s = 0.0
+    dev_query = ""
+    gain_str = None
+    ppm = 0.0
+    antenna = None
+
+    for opt, arg in opts:
+        if opt == "-f":
+            freq = atofs(arg)
+        elif opt == "-s":
+            rate = int(atofs(arg))
+        elif opt == "-n":
+            n_uniform = int(arg)
+        elif opt == "-k":
+            stations = [atofs(v) for v in arg.split(",") if v]
+        elif opt == "-D":
+            decim = int(arg)
+        elif opt == "-M":
+            mode = arg
+        elif opt == "-A":
+            atan = arg
+        elif opt == "-c":
+            deemph_arg = arg
+        elif opt == "-r":
+            rate_out2 = int(atofs(arg))
+        elif opt == "-b":
+            block_target = int(atofs(arg))
+        elif opt == "-e":
+            exit_s = float(atofs(arg))
+        elif opt == "-d":
+            dev_query = arg
+        elif opt == "-g":
+            gain_str = arg
+        elif opt == "-p":
+            ppm = atofs(arg)
+        elif opt == "-a":
+            antenna = arg
+
+    outdir = args[0] if args else None
+    if outdir is None or freq is None:
+        usage()
+    if bool(n_uniform) == bool(stations):
+        log("exactly one of -n (PFB) or -k (mixer stations) is required")
+        return 1
+    if mode not in ("fm", "am", "usb", "lsb", "raw"):
+        log("unsupported mode: %s", mode)
+        return 1
+
+    d = n_uniform if n_uniform else decim
+    channel_rate = rate // d
+    deemph_a = 0
+    if mode == "fm" and deemph_arg != "off":
+        tc_us = {"us": 75, "eu": 50}.get(deemph_arg)
+        if tc_us is None:
+            tc_us = int(float(deemph_arg))
+        deemph_a = ops.deemph_alpha(
+            rate_out2 if rate_out2 > 0 else channel_rate, tc_us)
+
+    if n_uniform:
+        cfg = pfb.PfbConfig(capture_rate=rate, n_channels=n_uniform,
+                            mode=mode, custom_atan=ops.disc_mode(atan),
+                            deemph_a=deemph_a,
+                            rate_out2=rate_out2 if rate_out2 > 0 else -1)
+        freqs = [freq + off for off in cfg.channel_freqs()]
+        state = pfb.init_state(cfg)
+        step = pfb.pfb_step
+        block_size = pfb.block_samples(cfg, target=block_target)
+    else:
+        offsets = tuple(f - freq for f in stations)
+        span = max(abs(o) for o in offsets)
+        if span > rate / 2:
+            log("station %s is outside the capture bandwidth", max(stations))
+            return 1
+        cfg = channelizer.ChannelizerConfig(
+            capture_rate=rate, offsets=offsets, downsample=decim,
+            mode=mode, custom_atan=ops.disc_mode(atan), deemph_a=deemph_a,
+            rate_out2=rate_out2 if rate_out2 > 0 else -1)
+        freqs = list(stations)
+        state = channelizer.init_state(cfg)
+        step = channelizer.channelize_step
+        block_size = channelizer.block_samples(cfg, target=block_target)
+
+    do_exit = [False]
+    common.install_sigint(lambda *a: do_exit.__setitem__(0, True))
+
+    with common.suppress_stdout():
+        src = common.verbose_device_search(dev_query)
+        common.verbose_set_sample_rate(src, rate)
+        common.verbose_set_frequency(src, freq)
+        common.verbose_gain_str_set(src, gain_str)
+        if antenna:
+            common.verbose_antenna_str_set(src, antenna)
+        common.verbose_ppm_set(src, ppm)
+    src.activate()
+
+    os.makedirs(outdir, exist_ok=True)
+    files = []
+    for i, f in enumerate(freqs):
+        path = os.path.join(outdir, f"ch{i:02d}_{int(round(f))}.s16")
+        files.append(open(path, "wb"))
+    log("rx_channels: %d channels at %.0f S/s audio -> %s",
+        len(freqs), float(rate_out2 if rate_out2 > 0 else channel_rate),
+        outdir)
+
+    import jax
+    read_total = 0
+    rc = 0
+    try:
+        while not do_exit[0]:
+            n, buf = src.read_stream(block_size)
+            if n == 0:
+                break
+            if n < 0:
+                sys.stderr.write("O")
+                sys.stderr.flush()
+                continue
+            if n < block_size:
+                break                         # partial tail at EOF: drop
+            state, audio, n_valid = step(cfg, state, buf[: 2 * block_size])
+            audio, n_valid = jax.device_get((audio, n_valid))
+            for i, fh in enumerate(files):
+                pcm = fmchain.audio_to_int16(audio[i, : int(n_valid[i])])
+                fh.write(pcm.tobytes())
+            read_total += n
+            if exit_s and read_total >= exit_s * rate:
+                break
+    finally:
+        src.deactivate()
+        src.close()
+        for fh in files:
+            fh.close()
+    log("rx_channels: processed %d capture samples", read_total)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
