@@ -117,6 +117,12 @@ def verbose_gain_str_set(src: Source, gain_str: str | None) -> int:
     """Scalar or ``NAME=val,...`` per-element gains (convenience.c:287-327);
     ``None`` = auto gain with per-driver defaults (convenience.c:238-285)."""
     if gain_str is None:
+        # per-driver auto-gain defaults (verbose_auto_gain,
+        # convenience.c:238-285): sources that know their hardware apply
+        # the reference's quirks (e.g. rtl_tcp = RTLSDR -> 40 dB "semi-
+        # automatic"); others keep driver defaults
+        if hasattr(src, "set_auto_gain"):
+            return src.set_auto_gain()
         log("Using automatic gain control.")
         return 0
     if "=" in gain_str:

@@ -141,6 +141,16 @@ class RtlTcpSource(Source):
                                  (1 << 16) | (int(round(value * 10)) & 0xFFFF))
         return self.set_gain(value)
 
+    def set_auto_gain(self) -> int:
+        """The reference's RTLSDR auto-gain quirk (``verbose_auto_gain``,
+        ``src/convenience/convenience.c:253-262``): rtl_tcp serves an
+        RTL-SDR, so 'auto' means the same "semi-automatic" 40 dB."""
+        r = self._command(CMD_SET_GAIN_MODE, 1)
+        r = r or self._command(CMD_SET_GAIN, 400)
+        if r == 0:
+            log("Tuner gain semi-automatically set to 40 dB")
+        return r
+
     def set_frequency_correction(self, ppm: float) -> int:
         super().set_frequency_correction(ppm)
         return self._command(CMD_SET_FREQ_CORRECTION, int(round(ppm)))

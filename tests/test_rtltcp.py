@@ -126,6 +126,10 @@ def test_rx_sdr_records_from_rtltcp(tmp_path, monkeypatch):
     # the CLI's -f/-s flags must have reached the server as protocol commands
     assert (rtltcp.CMD_SET_FREQ, 100_000_000) in srv.commands
     assert (rtltcp.CMD_SET_SAMPLE_RATE, 2_048_000) in srv.commands
+    # auto gain (no -g) applies the reference's RTLSDR 40 dB quirk
+    # (verbose_auto_gain, convenience.c:253-262)
+    assert (rtltcp.CMD_SET_GAIN_MODE, 1) in srv.commands
+    assert (rtltcp.CMD_SET_GAIN, 400) in srv.commands
 
 
 def test_bad_magic_rejected():
