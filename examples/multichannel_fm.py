@@ -5,7 +5,8 @@ Usage:
         [center_freq=96M]
 
 Writes one ``station_<freq>.raw`` (s16 PCM @ 32 kHz) per channel.  See
-``docs/PERF.md``: 64 channels run at ~1700x realtime each on one chip.
+``docs/PERF.md`` for throughput; for a uniform channel grid prefer the
+polyphase filterbank CLI: ``rx_channels -n 64`` (models/pfb.py).
 """
 
 import sys
