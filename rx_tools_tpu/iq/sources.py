@@ -137,6 +137,8 @@ class _FileParams:
     format: str = "CS16"
     rate: float = 2_048_000.0
     loop: bool = False
+    format_pinned: bool = True     # False => probe for a WAV header
+    rate_pinned: bool = True
 
 
 class FileSource(Source):
@@ -152,6 +154,8 @@ class FileSource(Source):
         self._f = open(params.path, "rb") if params.path != "-" else sys.stdin.buffer
         self._fmt = formats.parse_fmt(params.format)
         self._pending = b""
+        if not params.format_pinned:
+            self._probe_wav(params)
         # native readahead feeder (the dongle-thread analog): lossless
         # backpressure mode; skipped for stdin (fd lifetime) and loop mode
         # (feeder cannot seek)
@@ -164,6 +168,31 @@ class FileSource(Source):
                 self._feeder = native.Feeder(self._f.fileno(),
                                              block - block % elem,
                                              depth=8, drop_on_full=False)
+
+    def _probe_wav(self, params: _FileParams) -> None:
+        """Auto-detect a RIFF/WAVE capture (rx_fm -E wav / rtl_fm
+        generate_header output): take rate + format from the header and
+        stream the data chunk.  Non-WAV bytes are replayed untouched."""
+        from rx_tools_tpu.iq import wavread
+        info, consumed = wavread.parse_wav(self._f.read)
+        if info is not None:
+            self._fmt = info.iq_format
+            if not params.rate_pinned:
+                self.sample_rate = float(info.rate)
+            log("Detected WAV capture: %d ch, %d-bit, %d S/s (-> %s)",
+                info.channels, info.bits, info.rate, self._fmt)
+        if self._f is sys.stdin.buffer:
+            if info is None:
+                self._pending = consumed   # replay the probed bytes
+            return
+        # Reopen at the data offset: BufferedReader.seek satisfies small
+        # seeks inside its readahead buffer WITHOUT moving the raw fd, and
+        # the native feeder reads the raw fd — a fresh reader's first seek
+        # is a real lseek, so both the buffered and raw positions agree.
+        pos = self._f.tell() if info is not None else 0
+        self._f.close()
+        self._f = open(params.path, "rb")
+        self._f.seek(pos)
 
     def _read_bytes(self, need: int) -> bytes:
         buf = self._pending
@@ -306,10 +335,13 @@ def make_source(query: str | dict) -> Source:
             format=kw.get("format", "CS16"),
             rate=atofs(kw.get("rate", "2048k")),
             loop=kw.get("loop", "0") not in ("0", "", "false"),
+            format_pinned="format" in kw,
+            rate_pinned="rate" in kw,
         )
         return FileSource(p)
     if "stdin" in kw:
-        p = _FileParams(path="-", format=kw.get("format", "CU8"))
+        p = _FileParams(path="-", format=kw.get("format", "CU8"),
+                        format_pinned="format" in kw)
         return FileSource(p)
     if "synth" in kw or kw.get("driver") == "synth":
         return SynthSource(kw)
