@@ -9,10 +9,13 @@ Writes one ``station_<freq>.raw`` (s16 PCM @ 32 kHz) per channel.  See
 polyphase filterbank CLI: ``rx_channels -n 64`` (models/pfb.py).
 """
 
+import pathlib
 import sys
 
 import numpy as np
 import jax.numpy as jnp
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from rx_tools_tpu.apps.common import select_platform
 select_platform()   # honour RX_PLATFORM=cpu|tpu

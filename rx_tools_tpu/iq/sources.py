@@ -241,74 +241,98 @@ class SynthSource(Source):
     fall in-band, so frequency-hop logic (rx_fm scanning, rx_power sweeps) is
     exercised exactly as against hardware.  Deterministic given ``seed``.
 
-    kwargs:
-      ``synth=fm|am|usb|lsb|tone|noise|silence`` — modulation of the emitter(s)
-      ``carrier=<freq>``  — emitter RF frequency (default: initial tune freq)
-      ``audio=<freq>``    — baseband tone frequency (default 1 kHz)
-      ``dev=<freq>``      — FM deviation (default 75k wideband)
-      ``amp=<0..1>``      — emitter amplitude relative to full scale (0.5)
-      ``noise=<0..1>``    — AWGN sigma relative to full scale (0.001)
+    kwargs (``|``-separated values describe multiple emitters; shorter
+    lists broadcast their last value):
+      ``synth=fm|am|usb|lsb|tone|noise|silence`` — modulation (shared)
+      ``carrier=<f1>[|<f2>...]`` — emitter RF frequencies (default: tune freq)
+      ``audio=<f1>[|...]``  — baseband tone frequency (default 1 kHz)
+      ``dev=<f1>[|...]``    — FM deviation (default 75k wideband)
+      ``amp=<a1>[|...]``    — emitter amplitude relative to full scale (0.5)
+      ``noise=<0..1>``      — AWGN sigma relative to full scale (0.001)
       ``seed=<int>``
     """
 
     driver = "synth"
     hardware = "synthetic scene"
 
+    @staticmethod
+    def _list(kwargs, key, default):
+        raw = kwargs.get(key)
+        if raw is None:
+            return None if default is None else [default]
+        return [atofs(v) for v in str(raw).split("|") if v]
+
     def __init__(self, kwargs: dict[str, str]):
         super().__init__()
         self.kind = kwargs.get("synth", "tone") or "tone"
-        self.carrier = atofs(kwargs["carrier"]) if "carrier" in kwargs else None
-        self.audio = atofs(kwargs.get("audio", "1k"))
-        self.deviation = atofs(kwargs.get("dev", "75k"))
-        self.amp = float(kwargs.get("amp", "0.5"))
+        self.carriers = self._list(kwargs, "carrier", None)
+        self.audios = self._list(kwargs, "audio", 1000.0)
+        self.deviations = self._list(kwargs, "dev", 75e3)
+        self.amps = [float(v) for v in str(kwargs.get("amp", "0.5")).split("|")]
         self.noise = float(kwargs.get("noise", "0.001"))
         self.seed = int(kwargs.get("seed", "0"))
         self._rng = np.random.default_rng(self.seed)
-        self._phase = 0.0       # carrier NCO phase (radians)
-        self._mod_phase = 0.0   # audio/modulation phase
+        self._phase = None      # (E,) carrier NCO phases (radians)
+        self._mod_phase = None  # (E,) audio/modulation phases
         self._n = 0             # absolute sample counter
 
     def set_frequency(self, freq: float) -> int:
         super().set_frequency(freq)
-        if self.carrier is None:
-            self.carrier = float(freq)
+        if self.carriers is None:
+            self.carriers = [float(freq)]
         return 0
 
+    @staticmethod
+    def _bcast(vals, e):
+        return np.array([vals[min(i, len(vals) - 1)] for i in range(e)],
+                        np.float64)
+
     def _baseband(self, n: int, fs: float) -> np.ndarray:
-        """Complex baseband of the emitter at offset (carrier - tuned freq)."""
+        """Complex baseband: sum of emitters at offsets (carrier - tuned)."""
         t = (self._n + np.arange(n)) / fs
-        carrier = self.carrier if self.carrier is not None else self.frequency
-        offset = carrier - self.frequency
-        audio = np.sin(2 * math.pi * self.audio * t + self._mod_phase)
+        carriers = np.array(self.carriers if self.carriers is not None
+                            else [self.frequency], np.float64)
+        e = carriers.shape[0]
+        if self._phase is None or self._phase.shape[0] != e:
+            self._phase = np.zeros(e)
+            self._mod_phase = np.zeros(e)
+        offsets = carriers - self.frequency                       # (E,)
+        audios = self._bcast(self.audios, e)
+        devs = self._bcast(self.deviations, e)
+        amps = self._bcast(self.amps, e)
+        audio = np.sin(2 * math.pi * audios[:, None] * t[None, :]
+                       + self._mod_phase[:, None])                # (E, N)
         if self.kind in ("silence",):
-            sig = np.zeros(n, np.complex128)
+            sig = np.zeros((e, n), np.complex128)
         elif self.kind == "noise":
-            sig = (self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n)) * 0.5
+            sig = (self._rng.standard_normal((e, n))
+                   + 1j * self._rng.standard_normal((e, n))) * 0.5
         elif self.kind == "tone":
-            sig = np.ones(n, np.complex128)
+            sig = np.ones((e, n), np.complex128)
         elif self.kind == "fm":
             # integrate deviation * audio for the instantaneous phase
-            dphi = 2 * math.pi * self.deviation * audio / fs
-            sig = np.exp(1j * (self._phase + np.cumsum(dphi)))
-            self._phase = float((self._phase + dphi.sum()) % (2 * math.pi))
+            dphi = 2 * math.pi * devs[:, None] * audio / fs
+            sig = np.exp(1j * (self._phase[:, None] + np.cumsum(dphi, axis=1)))
+            self._phase = (self._phase + dphi.sum(axis=1)) % (2 * math.pi)
         elif self.kind == "am":
             sig = (1.0 + 0.8 * audio).astype(np.complex128)
         elif self.kind in ("usb", "lsb"):
             sign = 1.0 if self.kind == "usb" else -1.0
-            sig = np.exp(sign * 2j * math.pi * self.audio * t)
+            sig = np.exp(sign * 2j * math.pi * audios[:, None] * t[None, :])
         else:
             raise ValueError(f"unknown synth kind: {self.kind}")
-        mix = np.exp(2j * math.pi * offset * t)
+        mix = np.exp(2j * math.pi * offsets[:, None] * t[None, :])
         # front-end selectivity: a real tuner's anti-alias filtering keeps
         # far-out-of-band emitters from folding in; roll off past Nyquist
-        # so sweep hops see the emitter only when it is actually in-band
-        rel = abs(offset) / (fs / 2.0)
-        atten = 1.0 if rel <= 1.0 else 10.0 ** (-4 * min(rel - 1.0, 1.0))
-        out = self.amp * atten * sig * mix
+        # so sweep hops see an emitter only when it is actually in-band
+        rel = np.abs(offsets) / (fs / 2.0)
+        atten = np.where(rel <= 1.0, 1.0,
+                         10.0 ** (-4 * np.minimum(rel - 1.0, 1.0)))
+        out = np.sum((amps * atten)[:, None] * sig * mix, axis=0)
         if self.noise:
             out = out + self.noise * (
                 self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n))
-        self._mod_phase = float((self._mod_phase) % (2 * math.pi))
+        self._mod_phase = self._mod_phase % (2 * math.pi)
         return out
 
     def read_stream(self, n_elems: int) -> tuple[int, np.ndarray]:
