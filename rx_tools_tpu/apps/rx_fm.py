@@ -133,12 +133,30 @@ def main(argv=None) -> int:
     rdc_const = 9
     verbosity = 0
     enables: list[str] = []
+    deemph = False
+    wb_mode = False
 
     for opt, arg in opts:
         if opt == "-f":
             freq_args.append(arg)
         elif opt == "-M":
-            mode = arg
+            if arg not in MODE_ALIASES:
+                log("Unknown modulation '%s'", arg)
+                usage()
+            mode = MODE_ALIASES[arg]
+            if mode == "wbfm":
+                # preset expansion happens IN the option loop like the
+                # reference's getopt case (rtl_fm.c:1331-1341), so later
+                # flags (-l, -A, -r) override preset values and earlier
+                # ones are clobbered — order-sensitive, faithfully.
+                # (post_downsample=4 is commented out there too.)
+                mode = "fm"
+                wb_mode = True
+                rate_in = 170000
+                rate_resample = 32000
+                atan_name = "fast"
+                deemph = True
+                squelch_level = 0.0
         elif opt == "-s":
             rate_in = int(atofs(arg))
         elif opt == "-r":
@@ -178,22 +196,7 @@ def main(argv=None) -> int:
         elif opt == "-h":
             usage()
 
-    if mode not in MODE_ALIASES:
-        log("Unknown modulation '%s'", mode)
-        usage()
-    mode = MODE_ALIASES[mode]
-
-    # -M wbfm preset expansion (rtl_fm.c:1331-1341)
-    deemph = "deemp" in enables
-    wb_mode = mode == "wbfm"
-    if mode == "wbfm":
-        mode = "fm"
-        rate_in = 170000
-        rate_resample = rate_resample or 32000
-        atan_name = "fast" if atan_name == "std" else atan_name
-        post_downsample = 4 if post_downsample == 1 else post_downsample
-        deemph = True
-        squelch_level = 0.0
+    deemph = deemph or "deemp" in enables
 
     if not freq_args:
         usage()
