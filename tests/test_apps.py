@@ -60,13 +60,16 @@ def test_rx_power_needs_range():
 def test_rx_fm_wbfm_from_file(tmp_path):
     # record a short FM capture with rx_sdr, demodulate with rx_fm
     cap = tmp_path / "cap.cs16"
+    # wbfm plans capture at 1.02M (demod 170k x downsample 6, rtl_fm.c:968,
+    # 1331-1341 with post_downsample commented out); station at -fs/4 of the
+    # file center so the chain's derotation recenters it.
     rc = rx_sdr.main(["-d", "synth=fm,audio=1k,dev=75k,amp=0.8,noise=0.001,carrier=100.3M",
-                      "-f", "100.64M", "-s", "1360k", "-n", "680k",
+                      "-f", "100.555M", "-s", "1020k", "-n", "510k",
                       "-F", "CS16", str(cap)])
     assert rc == 0
     audio = tmp_path / "audio.raw"
     rc = rx_fm.main(["-f", "100.3M", "-M", "wbfm",
-                     "-d", f"file={cap},format=CS16,rate=1360k", str(audio)])
+                     "-d", f"file={cap},format=CS16,rate=1020k", str(audio)])
     assert rc == 0
     pcm = np.fromfile(audio, np.int16)
     assert pcm.size > 10000          # ~0.5 s at 32k

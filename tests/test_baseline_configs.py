@@ -32,15 +32,17 @@ def _record(tmp_path, name, rate, secs, f="100M", **synth):
 def test_config1_wbfm_mono(tmp_path):
     """#1: u8-era I/Q @ 2.4 Msps -> decimate -> atan2 disc -> deemph -> 32k."""
     # wbfm tunes freq+16k; synth carrier must sit at the station
-    # wbfm: demod rate 680k -> capture 1.36M; file must be captured at
+    # wbfm: demod rate 170k (post_downsample=1, faithful to the reference's
+    # commented-out `demod.post_downsample = 4`, rtl_fm.c:1339) -> downsample
+    # 1M/170k+1 = 6 -> capture 1.02M; file must be captured at
     # capture_freq = station + 16k + rate/4 (station lands at -fs/4 in
     # the file; the chain's derotation recovers it)
-    cap = _record(tmp_path, "c1.cs16", 1_360_000, 0.4,
+    cap = _record(tmp_path, "c1.cs16", 1_020_000, 0.4,
                   synth="fm", audio="1k", dev="75k", amp="0.8",
-                  carrier="100.016M", f="100.356M")
+                  carrier="100.016M", f="100.271M")
     out = tmp_path / "a1.raw"
     rc = rx_fm.main(["-f", "100M", "-M", "wbfm", "-A", "std",
-                     "-d", f"file={cap},format=CS16,rate=1360k", str(out)])
+                     "-d", f"file={cap},format=CS16,rate=1020k", str(out)])
     assert rc == 0
     tone, n = _tone_of(out, 32000, 2000)
     assert n > 5000 and abs(tone - 1000) < 10
