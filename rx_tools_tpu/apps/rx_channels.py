@@ -132,8 +132,10 @@ def main(argv=None) -> int:
         tc_us = {"us": 75, "eu": 50}.get(deemph_arg)
         if tc_us is None:
             tc_us = int(float(deemph_arg))
-        deemph_a = ops.deemph_alpha(
-            rate_out2 if rate_out2 > 0 else channel_rate, tc_us)
+        # demod_tail applies de-emphasis at channel_rate, BEFORE the
+        # audio resampler, so alpha must be computed at that rate (the
+        # reference computes it at the rate the filter runs, rtl_fm.c:1412)
+        deemph_a = ops.deemph_alpha(channel_rate, tc_us)
 
     if n_uniform:
         cfg = pfb.PfbConfig(capture_rate=rate, n_channels=n_uniform,
@@ -184,23 +186,37 @@ def main(argv=None) -> int:
     import jax
     read_total = 0
     rc = 0
+    pend = np.empty(0, np.int16)      # partial-block accumulator
+    eof = False
     try:
-        while not do_exit[0]:
-            n, buf = src.read_stream(block_size)
-            if n == 0:
+        while not do_exit[0] and not eof:
+            # accumulate partial reads until a full block (a short read is
+            # a stall or tail, not EOF — only n == 0 ends the stream)
+            while pend.size < 2 * block_size:
+                n, buf = src.read_stream(block_size - pend.size // 2)
+                if n == 0:
+                    eof = True
+                    break
+                if n < 0:
+                    sys.stderr.write("O")
+                    sys.stderr.flush()
+                    continue
+                pend = np.concatenate([pend, buf[: 2 * n]])
+                read_total += n
+            valid = pend.size // 2
+            if valid == 0:
                 break
-            if n < 0:
-                sys.stderr.write("O")
-                sys.stderr.flush()
-                continue
-            if n < block_size:
-                break                         # partial tail at EOF: drop
-            state, audio, n_valid = step(cfg, state, buf[: 2 * block_size])
+            if valid < block_size:            # EOF tail: zero-pad + trim
+                pend = np.concatenate(
+                    [pend, np.zeros(2 * (block_size - valid), np.int16)])
+            state, audio, n_valid = step(cfg, state, pend[: 2 * block_size])
             audio, n_valid = jax.device_get((audio, n_valid))
+            frac = valid / block_size
             for i, fh in enumerate(files):
-                pcm = fmchain.audio_to_int16(audio[i, : int(n_valid[i])])
+                keep = int(round(int(n_valid[i]) * frac))
+                pcm = fmchain.audio_to_int16(audio[i, :keep])
                 fh.write(pcm.tobytes())
-            read_total += n
+            pend = np.empty(0, np.int16)
             if exit_s and read_total >= exit_s * rate:
                 break
     finally:

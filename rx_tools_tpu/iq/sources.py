@@ -154,6 +154,7 @@ class FileSource(Source):
         self._f = open(params.path, "rb") if params.path != "-" else sys.stdin.buffer
         self._fmt = formats.parse_fmt(params.format)
         self._pending = b""
+        self._data_start = 0        # loop mode rewinds here (past WAV header)
         if not params.format_pinned:
             self._probe_wav(params)
         # native readahead feeder (the dongle-thread analog): lossless
@@ -193,6 +194,7 @@ class FileSource(Source):
         self._f.close()
         self._f = open(params.path, "rb")
         self._f.seek(pos)
+        self._data_start = pos
 
     def _read_bytes(self, need: int) -> bytes:
         buf = self._pending
@@ -207,7 +209,7 @@ class FileSource(Source):
             chunk = self._f.read(need - len(buf))
             if not chunk:
                 if self.p.loop and self._f is not sys.stdin.buffer:
-                    self._f.seek(0)
+                    self._f.seek(self._data_start)
                     continue
                 break
             buf += chunk

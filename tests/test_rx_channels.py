@@ -56,3 +56,51 @@ def test_validation():
                              "x"]) == 1          # outside capture bw
     with pytest.raises(SystemExit):
         rx_channels.main([])                     # no outdir / freq
+
+
+def test_partial_tail_not_dropped(tmp_path):
+    """A capture whose length is not a block multiple keeps its tail: the
+    final partial block is zero-padded and trimmed, not discarded."""
+    from rx_tools_tpu.apps import rx_sdr
+    fs, blk = 1_024_000, 131072
+    n_samp = blk + blk // 2                 # 1.5 blocks
+    cap = tmp_path / "cap.cs16"
+    rc = rx_sdr.main(["-d", "synth=fm,carrier=100.2M,audio=1k,dev=15k,amp=0.8",
+                      "-f", "100M", "-s", str(fs), "-n", str(n_samp),
+                      "-F", "CS16", str(cap)])
+    assert rc == 0
+    out = tmp_path / "out"
+    rc = rx_channels.main([
+        "-f", "100M", "-s", str(fs), "-k", "100.2M", "-D", "16",
+        "-M", "fm", "-A", "std", "-c", "off", "-r", "0",
+        "-b", str(blk), "-d", f"file={cap},format=CS16,rate={fs}", str(out)])
+    assert rc == 0
+    a = np.fromfile(next(out.glob("ch*.s16")), np.int16)
+    # channel rate fs/16 = 64k; 1.5 blocks -> ~12288 audio samples. With the
+    # old drop-partial behavior only the first block's 8192 would survive.
+    assert a.size > 11000
+
+
+def test_deemph_alpha_uses_channel_rate(tmp_path):
+    """De-emphasis runs at channel_rate before the resampler; alpha computed
+    at rate_out2 would over-brighten by ~channel_rate/rate_out2."""
+    from rx_tools_tpu import ops
+    captured = {}
+    real_cfg = rx_channels.channelizer.ChannelizerConfig
+
+    def spy(*a, **kw):
+        cfg = real_cfg(*a, **kw)
+        captured["deemph_a"] = cfg.deemph_a
+        return cfg
+
+    rx_channels.channelizer.ChannelizerConfig, orig = spy, real_cfg
+    try:
+        rc = rx_channels.main([
+            "-f", "100M", "-s", "2400k", "-k", "100.3M", "-D", "16",
+            "-r", "32k", "-c", "us", "-e", "0.05",
+            "-d", "synth=fm,carrier=100.3M,audio=1k,dev=15k,amp=0.5",
+            str(tmp_path / "o")])
+    finally:
+        rx_channels.channelizer.ChannelizerConfig = orig
+    assert rc == 0
+    assert captured["deemph_a"] == ops.deemph_alpha(2_400_000 // 16, 75)

@@ -78,3 +78,15 @@ def test_parse_non_wav_returns_consumed():
     info, consumed = wavread.parse_wav(f.read)
     assert info is None
     assert consumed == b"\x01\x02\x03\x04 definit"[:12]
+
+
+def test_wav_loop_mode_skips_header_on_wrap(tmp_path):
+    """Loop mode must rewind to the data chunk, not byte 0: otherwise
+    every pass after the first streams the RIFF header as I/Q samples."""
+    iq = np.full(2 * 100, 1234, np.int16)
+    p = _wav_file(tmp_path, rate=1_024_000, payload=iq)
+    src = make_source(f"file={p},loop=1")
+    n, buf = src.read_stream(350)           # 3.5 passes over the payload
+    assert n == 350
+    np.testing.assert_array_equal(buf, np.full(2 * 350, 1234, np.int16))
+    src.close()
