@@ -172,7 +172,8 @@ def main(argv=None) -> int:
         if antenna:
             common.verbose_antenna_str_set(src, antenna)
         common.verbose_ppm_set(src, ppm)
-    src.activate()
+        # activation inside the suppression window too (rtl_fm.c:880)
+        src.activate()
 
     os.makedirs(outdir, exist_ok=True)
     files = []

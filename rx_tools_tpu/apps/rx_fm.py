@@ -301,22 +301,26 @@ def main(argv=None) -> int:
         src.read_stream(BUFFER_DUMP)   # post-retune mute (rtl_fm.c:1047)
         return True
 
-    # --- level meter (-L, rtl_fm.c:792-807) -------------------------------
-    levels = {"n": 0, "sum": 0.0, "max": 0.0, "maxmax": 0.0}
+    # --- level meter (-L, rtl_fm.c:94-99,792-807) --------------------------
+    # one sample per demod pass; the FIRST pass prints immediately
+    # (printLevelNo starts at 1) and the mean divides by the interval, not
+    # the sample count — both reference quirks kept.
+    levels = {"remaining": 1, "sum": 0.0, "max": 0, "maxmax": 0}
 
     def note_level(lvl: float):
         if not level_interval:
             return
-        levels["n"] += 1
+        lvl = int(lvl)
+        levels["remaining"] -= 1
         levels["sum"] += lvl
         levels["max"] = max(levels["max"], lvl)
         levels["maxmax"] = max(levels["maxmax"], lvl)
-        if levels["n"] >= level_interval:
-            log("%0.f, %0.f, %0.f, %0.f", levels["sum"] / levels["n"],
-                levels["max"], levels["maxmax"], squelch_level)
-            levels["n"] = 0
+        if levels["remaining"] == 0:
+            log("%f, %d, %d, %d", levels["sum"] / level_interval,
+                levels["max"], levels["maxmax"], int(squelch_level))
+            levels["remaining"] = level_interval
             levels["sum"] = 0.0
-            levels["max"] = 0.0
+            levels["max"] = 0
 
     def sink(audio: np.ndarray, lvl: float):
         note_level(lvl)
@@ -332,7 +336,10 @@ def main(argv=None) -> int:
 
     common.install_sigint(lambda *a: runner.stop())
 
-    src.activate()
+    # stdout stays suppressed through activation (driver chatter must not
+    # reach the data plane; rtl_fm.c:880, convenience.c:447-466)
+    with common.suppress_stdout():
+        src.activate()
     try:
         with common.maybe_profile():
             stats = runner.run()

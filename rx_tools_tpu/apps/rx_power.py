@@ -184,7 +184,10 @@ def main(argv=None) -> int:
     start = time.time()
     next_tick = start + interval
     rc = 0
-    src.activate()
+    # stdout stays suppressed through activation (driver chatter must not
+    # reach the data plane; rtl_fm.c:880, convenience.c:447-466)
+    with common.suppress_stdout():
+        src.activate()
     try:
         while bail[0] == 0:
             # one full sweep: retune + read every hop, then integrate all

@@ -143,7 +143,10 @@ def main(argv=None) -> int:
         src.channel = channel
 
     out = common.open_output(filename)
-    src.activate()
+    # drivers chatter during stream activation; keep stdout suppressed
+    # through activate like the reference (rtl_sdr.c:317, convenience.c:447)
+    with common.suppress_stdout():
+        src.activate()
     log("Reading samples in sync mode...")
 
     n_read_total = 0

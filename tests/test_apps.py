@@ -120,3 +120,45 @@ def test_driver_query_without_soapy_lib():
         pytest.skip("SoapySDR present")
     with pytest.raises(SystemExit):
         rx_fm.main(["-f", "100M", "-d", "driver=rtlsdr", "-"])
+
+
+def test_activation_chatter_stays_off_data_plane(monkeypatch, capfdbinary):
+    """A driver that writes to stdout during stream activation must not
+    corrupt the sample stream: activation happens inside the suppression
+    window (rtl_fm.c:880, convenience.c:447-466)."""
+    from rx_tools_tpu.iq import sources
+
+    def noisy_activate(self):
+        os.write(1, b"CHATTER-FROM-DRIVER\n")
+
+    monkeypatch.setattr(sources.SynthSource, "activate", noisy_activate)
+    rc = rx_sdr.main(["-d", "synth=tone,amp=0.5", "-f", "100M",
+                      "-s", "1024k", "-n", "2048", "-F", "CS16", "-"])
+    assert rc == 0
+    cap = capfdbinary.readouterr()
+    assert b"CHATTER" not in cap.out          # data plane clean
+    assert len(cap.out) == 2 * 2 * 2048       # exactly the CS16 samples
+    assert b"CHATTER" in cap.err              # rerouted to the log plane
+
+
+def test_rx_fm_level_meter(tmp_path, capsys):
+    """-L N prints 'mean, max, maxmax, squelch' per N demod passes on
+    stderr, first line after the very first pass (rtl_fm.c:96,792-807)."""
+    cap = tmp_path / "cap.cs16"
+    rx_sdr.main(["-d", "synth=tone,amp=0.3", "-f", "100M", "-s", "1024k",
+                 "-n", "512k", "-F", "CS16", str(cap)])
+    rc = rx_fm.main(["-f", "100M", "-M", "am", "-s", "24k", "-L", "5",
+                     "-d", f"file={cap},format=CS16,rate=1024k",
+                     str(tmp_path / "a.raw")])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().err.splitlines()
+             if l.count(", ") == 3 and l.split(", ")[3] == "0"]
+    assert len(lines) >= 2
+    first = lines[0].split(", ")
+    # mean column is a %f float; max/maxmax/squelch are ints
+    assert "." in first[0] and all("." not in c for c in first[1:])
+    # first line fires after ONE pass, so its 'mean' is max/interval
+    assert abs(float(first[0]) - int(first[1]) / 5.0) < 1e-6
+    # maxmax is cumulative: never decreases across lines
+    mm = [int(l.split(", ")[2]) for l in lines]
+    assert all(b >= a for a, b in zip(mm, mm[1:]))
