@@ -163,22 +163,43 @@ def verbose_ppm_set(src: Source, ppm: float) -> int:
 
 
 def verbose_direct_sampling(src: Source, mode: int) -> int:
-    """writeSetting("direct_samp") + readback (convenience.c:183-212)."""
+    """writeSetting("direct_samp") + readback verify (convenience.c:183-212).
+
+    The messages report what the hardware actually APPLIED (the read-back
+    value), not what was requested — a driver that rejects the setting is
+    surfaced as a WARNING instead of silently mis-sampling.
+    """
     r = src.write_setting("direct_samp", str(mode))
     applied = src.read_setting("direct_samp")
-    if mode == 0:
+    if applied is None:
+        log("WARNING: Failed to set direct sampling mode.")
+        return r
+    try:
+        applied_i = int(applied)
+    except ValueError:
+        applied_i = -1
+    if applied_i == 0:
         log("Direct sampling mode disabled.")
-    else:
-        log("Enabled direct sampling mode, input %s.", applied)
+    elif applied_i == 1:
+        log("Enabled direct sampling mode, input 1/I.")
+    elif applied_i == 2:
+        log("Enabled direct sampling mode, input 2/Q.")
+    if mode == 3:
+        log("Enabled no-mod direct sampling mode.")
     return r
 
 
 def verbose_offset_tuning(src: Source) -> int:
+    """writeSetting("offset_tune") + readback verify
+    (convenience.c:214-236)."""
     r = src.write_setting("offset_tune", "true")
-    if src.read_setting("offset_tune") == "true":
-        log("Offset tuning mode enabled.")
-    else:
+    applied = src.read_setting("offset_tune")
+    if applied is None:
         log("WARNING: Failed to set offset tuning.")
+    elif applied != "true":
+        log("WARNING: Failed to set offset tuning.")
+    else:
+        log("Offset tuning mode enabled.")
     return r
 
 

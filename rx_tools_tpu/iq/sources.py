@@ -387,8 +387,32 @@ def make_source(query: str | dict) -> Source:
 
 
 def show_device_info(src: Source) -> None:
-    """stderr capability dump, mirroring convenience.c:382-445."""
+    """stderr capability dump, mirroring convenience.c:382-445.
+
+    Hardware sources (SoapySource) report the full enumeration — hardware
+    info kwargs, channel count, antennas, gain elements, frequency
+    components, sample rates, bandwidths — in the reference's layout;
+    framework sources print their simpler nominal capabilities.
+    """
     info = src.info()
+    if "num_channels" in info:           # real-hardware enumeration
+        hw = " ".join(f"{k}={v}" for k, v in
+                      info.get("hardware_info", {}).items())
+        log("Using device %s: %s", info["hardware"], hw)
+        log("Found %d channel(s) :", info["num_channels"])
+        for c in range(info["num_channels"]):
+            log("Channel %d :", c)
+            log("  Found %d antenna(s): %s", len(info["antennas"]),
+                " ".join(info["antennas"]))
+            log("  Found %d gain(s): %s", len(info["gains"]),
+                " ".join(info["gains"]))
+            log("  Found %d frequencies: %s", len(info["frequencies"]),
+                " ".join(info["frequencies"]))
+            log("  Found %d sample rates: %s", len(info["sample_rates"]),
+                " ".join("%.0f" % r for r in info["sample_rates"]))
+            log("  Found %d bandwidths: %s", len(info["bandwidths"]),
+                " ".join("%.0f" % b for b in info["bandwidths"]))
+        return
     log("Using device %s: %s", info["driver"], info["hardware"])
     log("Found %d channel(s) :", 1)
     log("Antennas: %s", ", ".join(info["antennas"]))
