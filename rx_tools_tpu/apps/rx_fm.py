@@ -59,6 +59,9 @@ Use:\trx_fm -f freq [-options] [filename]
 \t\tedge, rdc, adc, dc, rtlagc, agc, deemp, direct, no-mod, offset, zero, wav
 \t\thq:     high-quality DSP (polyphase sinc resampler + anti-alias
 \t\t        FIR decimator; beyond the reference, ~+60 dB audio SNR)
+\t\tshard:  offline multi-device demod — the whole capture is split
+\t\t        into time shards (one per device) with overlap-save halo
+\t\t        warm-up; single frequency, no squelch (file sources)
 \t[-q dc_avg_factor for option rdc (default: 9)]
 \tfilename ('-' means stdout)
 Experimental options:
@@ -103,9 +106,81 @@ def parse_freq_args(freq_args: list[str]) -> list[float]:
     return freqs
 
 
+def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
+    """Offline multi-device demod (-E shard): the capture splits into S
+    contiguous time shards, one per device, processed in parallel with
+    overlap-save halo warm-up (``parallel/timeshard.py`` documents the
+    boundary semantics: FIR state exact, IIR transient bounded).  The tail
+    that doesn't divide evenly is replayed single-device with the same
+    halo trick, so output order and the emission grid match the streaming
+    runner's.  This is the user-reachable path for BASELINE.md's
+    multi-device scaling target on rx_fm chains."""
+    import jax
+    import jax.numpy as jnp
+    from rx_tools_tpu.parallel import make_mesh, time_sharded_fm
+    from rx_tools_tpu.stream.scan import stack_blocks, scan_fm_blocks
+
+    bs = fmchain.block_samples(cfg)
+    parts = []
+    while True:
+        n, buf = src.read_stream(1 << 18)
+        if n == 0:
+            break
+        if n < 0:
+            sys.stderr.write("O")
+            sys.stderr.flush()
+            continue
+        parts.append(np.asarray(buf[: 2 * n]))
+    iq = np.concatenate(parts) if parts else np.zeros(0, np.int16)
+    blocks = stack_blocks(iq, bs)       # partial tail dropped, like the
+    total = blocks.shape[0]             # streaming runner (chunked.py)
+    s = max(1, len(jax.devices()))
+    m = total // s
+    done = 0
+    if s > 1 and m > warmup:
+        log("Sharding %d blocks over %d devices (%d per shard).",
+            total, s, m)
+        mesh = make_mesh(s, axis="t")
+        sharded = blocks[: s * m].reshape(s, m, -1)
+        audio, n_valid = time_sharded_fm(cfg, jnp.asarray(sharded),
+                                         mesh=mesh, warmup=warmup)
+        audio, n_valid = jax.device_get((audio, n_valid))
+        for sh in range(s):
+            for i in range(m):
+                pcm = fmchain.audio_to_int16(audio[sh, i,
+                                                   : int(n_valid[sh, i])])
+                out.write(pcm.tobytes())
+        done = s * m
+    if done < total:
+        # tail (or a capture too short to shard): re-derive carried state
+        # by replaying the last `warmup` blocks, seed the resampler phase
+        # analytically (timeshard.py), then emit
+        replay = blocks[max(0, done - warmup): done]
+        st = fmchain.init_state(cfg)
+        if done and cfg.rate_out2 > 0:
+            import math
+            g = math.gcd(cfg.rate_out, cfg.rate_out2)
+            fast, slow = cfg.rate_out // g, cfg.rate_out2 // g
+            apb = bs // cfg.downsample // cfg.post_downsample
+            phase0 = ((done - replay.shape[0]) * apb * slow) % fast
+            st = st._replace(resamp=st.resamp._replace(
+                phase=jnp.int32(phase0)))
+        if replay.shape[0]:
+            st, _, _, _ = scan_fm_blocks(cfg, st, jnp.asarray(replay))
+        st, audio, n_valid, _ = scan_fm_blocks(cfg, st,
+                                               jnp.asarray(blocks[done:]))
+        audio, n_valid = jax.device_get((audio, n_valid))
+        for i in range(audio.shape[0]):
+            out.write(fmchain.audio_to_int16(
+                audio[i, : int(n_valid[i])]).tobytes())
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     common.select_platform()
+    # multi-host control plane (no-op single host; parallel/multihost.py)
+    from rx_tools_tpu.parallel import multihost
+    multihost.init()
     try:
         opts, args = getopt.getopt(
             argv, "a:C:d:f:g:s:b:l:L:o:t:r:p:E:q:F:A:M:c:h:w:v")
@@ -283,6 +358,25 @@ def main(argv=None) -> int:
     out = common.open_output(args[0] if args else None)
     if "wav" in enables:
         write_wav_header(out, cfg.audio_rate(), stereo=(mode == "raw"))
+
+    # --- offline sharded mode (-E shard): time axis over the mesh ---------
+    if "shard" in enables:
+        if len(freqs) > 1 or squelch_level > 0:
+            log("-E shard is an offline single-frequency mode "
+                "(no squelch/scan).")
+            return 1
+        with common.suppress_stdout():
+            src.activate()
+        try:
+            _run_offline_sharded(cfg, src, out)
+        finally:
+            src.deactivate()
+            src.close()
+            if out is not sys.stdout.buffer:
+                out.close()
+            else:
+                out.flush()
+        return 0
 
     # --- controller state (freq scanning) --------------------------------
     freq_idx = [0]

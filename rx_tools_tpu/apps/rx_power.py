@@ -55,6 +55,9 @@ Use:\trx_power -f freq_range [-options] [filename]
 \t[-P enables peak hold (default: off)]
 \t[-D direct_sampling_mode, 0 (default/off), 1 (I), 2 (Q), 3 (no-mod)]
 \t[-O enable offset tuning (default: off)]
+\t[-t device parallelism: shard hops over this many devices
+\t (default: 0 = all local devices; 1 disables sharding.
+\t  the reference parsed but never used '-t fft_threads' — here it is live)]
 
 CSV FFT output columns:
 \tdate, time, Hz low, Hz high, Hz step, samples, dbm, dbm, ...
@@ -69,6 +72,9 @@ def usage():
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     common.select_platform()
+    # multi-host control plane (no-op single host; parallel/multihost.py)
+    from rx_tools_tpu.parallel import multihost
+    multihost.init()
     try:
         opts, args = getopt.getopt(argv, "a:C:f:i:s:t:d:g:p:e:w:c:F:1PD:OS:R:h")
     except getopt.GetoptError as e:
@@ -92,6 +98,7 @@ def main(argv=None) -> int:
     offset_tuning = False
     tuner_sleep_usec = 5000
     tuner_retry_max = 3
+    dev_parallel = 0            # 0 = auto (all local devices)
 
     for opt, arg in opts:
         if opt == "-f":
@@ -128,6 +135,11 @@ def main(argv=None) -> int:
             tuner_sleep_usec = int(arg)
         elif opt == "-R":
             tuner_retry_max = int(arg)
+        elif opt == "-t":
+            # the reference parses '-t fft_threads' and never uses it
+            # (rtl_power.c:899-901 dead flag) — here it selects how many
+            # devices the hop axis shards over
+            dev_parallel = int(arg)
         elif opt == "-h":
             usage()
 
@@ -180,7 +192,23 @@ def main(argv=None) -> int:
         boxcar=boxcar, comp_fir_size=comp_fir_size,
         window=window_name, peak_hold=peak_hold, buf_len=t0.buf_len)
 
-    acc = powerscan.new_sweep_accum(len(tunes), cfg)
+    # --- hop-axis sharding over the local mesh (SURVEY.md §2.6) ------------
+    # every device integrates its own hops' FFTs; the only cross-device
+    # traffic is the host gather at CSV flush (parallel/hopshard.py)
+    import jax
+    ndev = len(jax.devices())
+    want = ndev if dev_parallel <= 0 else min(dev_parallel, ndev)
+    n_mesh = max(1, min(want, len(tunes)))
+    mesh = None
+    h_pad = len(tunes)
+    if n_mesh > 1:
+        from rx_tools_tpu.parallel import make_mesh
+        mesh = make_mesh(n_mesh, axis="h")
+        h_pad = -(-len(tunes) // n_mesh) * n_mesh   # pad H to mesh multiple
+        log("Sharding %d hops over %d devices (%d rows incl. padding).",
+            len(tunes), n_mesh, h_pad)
+
+    acc = powerscan.new_sweep_accum(h_pad, cfg)
     start = time.time()
     next_tick = start + interval
     rc = 0
@@ -191,8 +219,9 @@ def main(argv=None) -> int:
     try:
         while bail[0] == 0:
             # one full sweep: retune + read every hop, then integrate all
-            # hops in one batched device step
-            blocks = np.empty((len(tunes), t0.buf_len), np.int16)
+            # hops in one batched (and hop-sharded) device step; padding
+            # rows stay zero and are never flushed
+            blocks = np.zeros((h_pad, t0.buf_len), np.int16)
             aborted = False
             for i, t in enumerate(tunes):
                 if bail[0] >= 2:
@@ -209,10 +238,14 @@ def main(argv=None) -> int:
                 if 2 * n < t.buf_len:
                     blocks[i, 2 * n:] = 0
             if not aborted:
-                acc = powerscan.sweep_step(cfg, acc, blocks)
+                if mesh is not None:
+                    from rx_tools_tpu.parallel import hop_sharded_sweep
+                    acc = hop_sharded_sweep(cfg, acc, blocks, mesh)
+                else:
+                    acc = powerscan.sweep_step(cfg, acc, blocks)
             now = time.time()
             if now >= next_tick or single or bail[0]:
-                acc = _flush_csv(out, tunes, cfg, acc)
+                acc = _flush_csv(out, tunes, cfg, acc, h_pad)
                 while next_tick <= now:
                     next_tick += interval
             if single:
@@ -240,10 +273,11 @@ def _retune(src, freq, sleep_usec, retry_max):
     log("WARNING: read_stream failed to settle, try increasing -S or -R")
 
 
-def _flush_csv(out, tunes, cfg, acc):
+def _flush_csv(out, tunes, cfg, acc, h_pad=None):
     """Timestamped CSV rows per hop + accumulator reset
-    (rtl_power.c:1041-1051, 774-817)."""
-    avg = np.asarray(acc.avg)
+    (rtl_power.c:1041-1051, 774-817).  ``h_pad`` >= len(tunes) when the
+    accumulators carry sharding pad rows (flushed rows = tunes only)."""
+    avg = np.asarray(acc.avg)          # gathers sharded accumulators
     samples = np.asarray(acc.samples)
     stamp = time.strftime("%Y-%m-%d, %H:%M:%S")
     lines = []
@@ -252,9 +286,11 @@ def _flush_csv(out, tunes, cfg, acc):
             avg[i], int(samples[i]), cfg, t.freq, t.rate, t.crop)
         vals = ", ".join("%.2f" % d for d in dbms)
         lines.append(f"{stamp}, {lo}, {hi}, {step:.2f}, {s}, {vals}\n")
-    out.write("".join(lines).encode() if _binary(out) else "".join(lines))
-    out.flush()
-    return powerscan.new_sweep_accum(len(tunes), cfg)
+    from rx_tools_tpu.parallel import multihost
+    if multihost.is_primary():
+        out.write("".join(lines).encode() if _binary(out) else "".join(lines))
+        out.flush()
+    return powerscan.new_sweep_accum(h_pad or len(tunes), cfg)
 
 
 def _binary(f) -> bool:
