@@ -162,31 +162,40 @@ def fm_chain_step_impl(cfg: FmConfig, state: FmState, block):
     ``n_valid`` the valid prefix length; ``level`` is the squelch RMS for
     ``-L`` printing / hop control.
     """
-    x = block.astype(jnp.float32).reshape(-1, 2) * jnp.float32(128.0 / 32767.0)
-    dc_iq = state.dc_iq
-    if cfg.dc_block_raw:
-        dc_iq, x = ops.dc_block_raw(dc_iq, x)
-    if not cfg.offset_tuning:
-        x = ops.rotate_fs4(x)
-
-    # --- capture decimation (full_demod head, rtl_fm.c:763-779) ---
     fifth, droop, polyfir = state.fifth, state.droop, state.polyfir
-    if cfg.downsample_passes:
-        fifth, x = ops.fifth_order_cascade(fifth, x, cfg.downsample_passes)
-        if cfg.comp_fir_size == 9:
-            droop, x = ops.droop_fir(droop, x, cfg.downsample_passes)
-        boxcar = state.boxcar
-    elif cfg.fir_quality > 9:
-        # beyond-reference: windowed-sinc polyphase anti-alias decimator
-        taps = jnp.asarray(design_lowpass(cfg.fir_quality,
-                                          1.0 / cfg.downsample))
-        polyfir, x = fir_decimate(polyfir, x, taps, cfg.downsample)
-        boxcar = state.boxcar
+    boxcar = state.boxcar
+    dc_iq = state.dc_iq
+    if (not cfg.dc_block_raw and not cfg.downsample_passes
+            and cfg.fir_quality <= 9):
+        # the default boxcar chain head — rescale (rtl_fm.c:845-848),
+        # fs/4 derotate (rtl_fm.c:309-327), decimate (rtl_fm.c:351-371) —
+        # runs as ONE fused pass: a Pallas VMEM-resident kernel on TPU,
+        # the identical jnp composition elsewhere (ops/pallas_frontend.py)
+        x = ops.capture_frontend(block, cfg.downsample,
+                                 rotate=not cfg.offset_tuning)
     else:
-        # aligned static boxcar: block_samples guarantees divisibility
-        n = x.shape[0] // cfg.downsample
-        x = x.reshape(n, cfg.downsample, 2).sum(axis=1)
-        boxcar = state.boxcar
+        x = (block.astype(jnp.float32).reshape(-1, 2)
+             * jnp.float32(128.0 / 32767.0))
+        if cfg.dc_block_raw:
+            dc_iq, x = ops.dc_block_raw(dc_iq, x)
+        if not cfg.offset_tuning:
+            x = ops.rotate_fs4(x)
+
+        # --- capture decimation (full_demod head, rtl_fm.c:763-779) ---
+        if cfg.downsample_passes:
+            fifth, x = ops.fifth_order_cascade(fifth, x,
+                                               cfg.downsample_passes)
+            if cfg.comp_fir_size == 9:
+                droop, x = ops.droop_fir(droop, x, cfg.downsample_passes)
+        elif cfg.fir_quality > 9:
+            # beyond-reference: windowed-sinc polyphase anti-alias decimator
+            taps = jnp.asarray(design_lowpass(cfg.fir_quality,
+                                              1.0 / cfg.downsample))
+            polyfir, x = fir_decimate(polyfir, x, taps, cfg.downsample)
+        else:
+            # aligned static boxcar: block_samples guarantees divisibility
+            n = x.shape[0] // cfg.downsample
+            x = x.reshape(n, cfg.downsample, 2).sum(axis=1)
 
     # --- squelch (rtl_fm.c:781-790) ---
     level = ops.rms_level(x)

@@ -78,23 +78,29 @@ def fm_chunk_step(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
     assert supports(cfg), "config not supported by the flat engine"
     m, twon = blocks.shape
     n = twon // 2
-    x = blocks.astype(jnp.float32).reshape(m, n, 2) * jnp.float32(128.0 / 32767.0)
-
-    # --- raw DC block: per-block EMA via associative scan ----------------
+    d = cfg.downsample
     dc_iq = state.dc_iq
-    if cfg.dc_block_raw:
+    if not cfg.dc_block_raw:
+        # fused capture head (rescale + fs/4 + boxcar decimate) over the
+        # whole chunk at once — Pallas kernel on TPU, jnp elsewhere; the
+        # fs/4 phase is continuous across blocks because n % 4 == 0
+        z = ops.capture_frontend(blocks.reshape(-1), d,
+                                 rotate=not cfg.offset_tuning)
+    else:
+        x = (blocks.astype(jnp.float32).reshape(m, n, 2)
+             * jnp.float32(128.0 / 32767.0))
+        # --- raw DC block: per-block EMA via associative scan ------------
         means = jnp.mean(x, axis=1)                    # (M, 2)
         avgs = _ema_scan(means, state.dc_iq[None, :], 9)
         x = x - avgs[:, None, :]
         dc_iq = avgs[-1]
 
-    flat = x.reshape(m * n, 2)
-    if not cfg.offset_tuning:
-        flat = ops.rotate_fs4(flat)
+        flat = x.reshape(m * n, 2)
+        if not cfg.offset_tuning:
+            flat = ops.rotate_fs4(flat)
 
-    # --- capture decimation (aligned boxcar) -----------------------------
-    d = cfg.downsample
-    z = flat.reshape(m * n // d, d, 2).sum(axis=1)     # (K, 2)
+        # --- capture decimation (aligned boxcar) -------------------------
+        z = flat.reshape(m * n // d, d, 2).sum(axis=1)     # (K, 2)
     k_per_block = n // d
 
     # --- squelch levels per block ---------------------------------------

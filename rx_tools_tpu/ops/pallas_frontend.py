@@ -107,9 +107,16 @@ def capture_frontend_jnp(block_i16, downsample: int, rotate: bool = True):
 
 
 def capture_frontend(block_i16, downsample: int, rotate: bool = True):
-    """Dispatch: Pallas on TPU, jnp elsewhere."""
+    """Dispatch: Pallas on TPU, jnp elsewhere.
+
+    This IS the production frontend: ``fm_chain_step`` / ``fm_chunk_step``
+    call it for every boxcar-decimation chain (the default rx_fm path).
+    ``RX_NO_PALLAS=1`` forces the jnp composition for A/B measurement.
+    """
+    import os
     n = block_i16.shape[0] // 2
     rows = n // int(downsample)
-    if jax.default_backend() == "tpu" and rows % 8 == 0:
+    if (jax.default_backend() == "tpu" and rows % 8 == 0
+            and not os.environ.get("RX_NO_PALLAS")):
         return capture_frontend_pallas(block_i16, downsample, rotate)
     return capture_frontend_jnp(block_i16, downsample, rotate)
