@@ -17,6 +17,7 @@ is a host-side read-and-drop.
 from __future__ import annotations
 
 import getopt
+import os
 import sys
 
 import numpy as np
@@ -72,6 +73,15 @@ Experimental options:
 \t\t0 or 9: the reference's fifth-order + droop cascade
 \t\t>9: windowed-sinc anti-alias FIR with that many taps (better SNR)
 \t[-A std/fast/lut/ale choose atan math (default: std)]
+\t[-b blocks_per_dispatch (default: 16)]
+\t\tlatency/throughput knob: 1 = per-block streaming (lowest
+\t\tlatency), N>1 amortizes device dispatch over N blocks
+\t[--checkpoint path  periodically snapshot DSP state (resumable)]
+\t[--checkpoint-every N  blocks between snapshots (default: per chunk)]
+\t[--resume path  restore a snapshot; with a file output, rewinds the
+\t\toutput to the snapshot point so the result is bit-identical
+\t\tto an uninterrupted run (single-frequency only)]
+\t[--blocks N  stop after N input blocks (offline processing)]
 
 Produces signed 16 bit ints, use Sox or aplay to hear them.
 """
@@ -183,7 +193,8 @@ def main(argv=None) -> int:
     multihost.init()
     try:
         opts, args = getopt.getopt(
-            argv, "a:C:d:f:g:s:b:l:L:o:t:r:p:E:q:F:A:M:c:h:w:v")
+            argv, "a:C:d:f:g:s:b:l:L:o:t:r:p:E:q:F:A:M:c:h:w:v",
+            ["checkpoint=", "checkpoint-every=", "resume=", "blocks="])
     except getopt.GetoptError as e:
         log("%s", str(e))
         usage()
@@ -210,6 +221,11 @@ def main(argv=None) -> int:
     enables: list[str] = []
     deemph = False
     wb_mode = False
+    chunk_blocks = 16
+    checkpoint_path = None
+    checkpoint_every = 0
+    resume_path = None
+    max_blocks = None
 
     for opt, arg in opts:
         if opt == "-f":
@@ -268,6 +284,16 @@ def main(argv=None) -> int:
             verbosity += 1
         elif opt == "-E":
             enables.append(arg)
+        elif opt == "-b":
+            chunk_blocks = max(1, int(arg))
+        elif opt == "--checkpoint":
+            checkpoint_path = arg
+        elif opt == "--checkpoint-every":
+            checkpoint_every = int(arg)
+        elif opt == "--resume":
+            resume_path = arg
+        elif opt == "--blocks":
+            max_blocks = int(arg)
         elif opt == "-h":
             usage()
 
@@ -290,6 +316,13 @@ def main(argv=None) -> int:
         # controller's wbfm tuning offset (rtl_fm.c:1006-1011): nudge off
         # the station center so the DC spur lands between channels
         freqs = [f + 16000 for f in freqs]
+
+    if resume_path and checkpoint_path is None:
+        checkpoint_path = resume_path   # keep snapshotting to the same file
+    if checkpoint_path and (len(freqs) > 1 or "shard" in enables):
+        log("--checkpoint/--resume support single-frequency streaming runs "
+            "only (no scanning, no -E shard).")
+        return 1
 
     offset_tuning = "offset" in enables or bandwidth > 0
     edge = 1 if "edge" in enables else 0
@@ -355,9 +388,18 @@ def main(argv=None) -> int:
         log("Output at %u Hz.", cfg.rate_in // cfg.post_downsample)
         common.verbose_set_frequency(src, capture_freq0)
 
-    out = common.open_output(args[0] if args else None)
+    # on resume with a file output, reopen without truncating: the stream
+    # rewinds to the snapshot point below so the result is bit-identical to
+    # an uninterrupted run even after a hard kill mid-write
+    out_name = args[0] if args else None
+    resuming_file = (resume_path is not None and out_name not in (None, "-")
+                     and os.path.exists(out_name) and os.path.exists(resume_path))
+    out = open(out_name, "r+b") if resuming_file else common.open_output(out_name)
+    header_bytes = 0
     if "wav" in enables:
-        write_wav_header(out, cfg.audio_rate(), stereo=(mode == "raw"))
+        header_bytes = 44
+        if not resuming_file:      # header already present when resuming
+            write_wav_header(out, cfg.audio_rate(), stereo=(mode == "raw"))
 
     # --- offline sharded mode (-E shard): time axis over the mesh ---------
     if "shard" in enables:
@@ -421,12 +463,51 @@ def main(argv=None) -> int:
         pcm = fmchain.audio_to_int16(audio)
         out.write(pcm.tobytes())
 
-    runner = ChunkedFmRunner(
-        cfg, src, sink,
-        chunk=16,
-        on_squelch=on_squelch if len(freqs) > 1 else None,
-        exit_on_squelch=squelch_delay < 0)
+    if chunk_blocks == 1:
+        # -b 1: per-block StreamRunner — lowest latency, source reads
+        # overlap device compute via async dispatch (stream/pipeline.py)
+        import functools
+        from rx_tools_tpu.stream.pipeline import StreamRunner
+        step = functools.partial(fmchain.fm_chain_step, cfg)
+        runner = StreamRunner(
+            step, fmchain.init_state(cfg), src, fmchain.block_samples(cfg),
+            sink,
+            on_squelch=on_squelch if len(freqs) > 1 else None,
+            conseq_squelch=cfg.conseq_squelch,
+            exit_on_squelch=squelch_delay < 0,
+            squelch_zero=cfg.squelch_zero,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every)
+        runner.squelch_level = squelch_level
+    else:
+        runner = ChunkedFmRunner(
+            cfg, src, sink,
+            chunk=chunk_blocks,
+            on_squelch=on_squelch if len(freqs) > 1 else None,
+            exit_on_squelch=squelch_delay < 0,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every)
     runner.warmup()
+
+    resume_meta = None
+    if resume_path:
+        if not os.path.exists(resume_path):
+            log("resume: no checkpoint at %s yet — starting fresh.",
+                resume_path)
+        else:
+            from rx_tools_tpu.stream.checkpoint import read_meta
+            peek = read_meta(resume_path)   # validate before loading state
+            if int(peek.get("block_size", -1)) != runner.block_size:
+                log("resume: checkpoint block size %s != current plan %d "
+                    "(different flags?)",
+                    peek.get("block_size"), runner.block_size)
+                return 1
+            try:
+                resume_meta = runner.restore(resume_path)
+            except (ValueError, KeyError) as e:
+                log("resume: checkpoint does not match this chain (%s)",
+                    str(e))
+                return 1
 
     common.install_sigint(lambda *a: runner.stop())
 
@@ -434,9 +515,30 @@ def main(argv=None) -> int:
     # reach the data plane; rtl_fm.c:880, convenience.c:447-466)
     with common.suppress_stdout():
         src.activate()
+    if resume_meta is not None:
+        if resuming_file:
+            # rewind output to the snapshot point (drops any audio written
+            # after the last checkpoint before the kill)
+            out.seek(header_bytes + 2 * int(resume_meta["samples_out"]))
+            out.truncate()
+        remaining = int(resume_meta["samples_in"])   # skip consumed input
+        while remaining > 0:
+            n, _ = src.read_stream(min(1 << 16, remaining))
+            if n < 0:
+                continue
+            if n == 0:
+                log("resume: source ended during skip-ahead.")
+                break
+            remaining -= n
+        log("Resumed at block %d (%d samples in, %d out).",
+            int(resume_meta["blocks"]), int(resume_meta["samples_in"]),
+            int(resume_meta["samples_out"]))
     try:
         with common.maybe_profile():
-            stats = runner.run()
+            # only forward --blocks when given (callers/tests may bind
+            # their own max_blocks default on the runner)
+            stats = (runner.run() if max_blocks is None
+                     else runner.run(max_blocks=max_blocks))
     finally:
         src.deactivate()
         src.close()

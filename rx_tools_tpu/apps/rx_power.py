@@ -58,6 +58,9 @@ Use:\trx_power -f freq_range [-options] [filename]
 \t[-t device parallelism: shard hops over this many devices
 \t (default: 0 = all local devices; 1 disables sharding.
 \t  the reference parsed but never used '-t fft_threads' — here it is live)]
+\t[--checkpoint path  snapshot integration accumulators every sweep, so a
+\t killed run resumes mid-interval instead of losing it]
+\t[--resume path  restore accumulators from a snapshot]
 
 CSV FFT output columns:
 \tdate, time, Hz low, Hz high, Hz step, samples, dbm, dbm, ...
@@ -76,7 +79,8 @@ def main(argv=None) -> int:
     from rx_tools_tpu.parallel import multihost
     multihost.init()
     try:
-        opts, args = getopt.getopt(argv, "a:C:f:i:s:t:d:g:p:e:w:c:F:1PD:OS:R:h")
+        opts, args = getopt.getopt(argv, "a:C:f:i:s:t:d:g:p:e:w:c:F:1PD:OS:R:h",
+                                   ["checkpoint=", "resume="])
     except getopt.GetoptError as e:
         log("%s", str(e))
         usage()
@@ -99,6 +103,8 @@ def main(argv=None) -> int:
     tuner_sleep_usec = 5000
     tuner_retry_max = 3
     dev_parallel = 0            # 0 = auto (all local devices)
+    checkpoint_path = None
+    resume_path = None
 
     for opt, arg in opts:
         if opt == "-f":
@@ -140,6 +146,10 @@ def main(argv=None) -> int:
             # (rtl_power.c:899-901 dead flag) — here it selects how many
             # devices the hop axis shards over
             dev_parallel = int(arg)
+        elif opt == "--checkpoint":
+            checkpoint_path = arg
+        elif opt == "--resume":
+            resume_path = arg
         elif opt == "-h":
             usage()
 
@@ -209,6 +219,37 @@ def main(argv=None) -> int:
             len(tunes), n_mesh, h_pad)
 
     acc = powerscan.new_sweep_accum(h_pad, cfg)
+
+    # --- checkpoint/resume of the integration accumulators -----------------
+    # the reference loses at most one -i interval on a kill (append-only CSV,
+    # rtl_power.c:813-816); with --checkpoint even that interval survives
+    if resume_path and checkpoint_path is None:
+        checkpoint_path = resume_path
+    ckpt_meta = {"h_pad": h_pad, "bin_e": cfg.bin_e, "buf_len": cfg.buf_len,
+                 "n_tunes": len(tunes)}
+    if resume_path:
+        import os
+        from rx_tools_tpu.stream.checkpoint import load_checkpoint, read_meta
+        if not os.path.exists(resume_path):
+            log("resume: no checkpoint at %s yet — starting fresh.",
+                resume_path)
+        else:
+            meta = read_meta(resume_path)   # validate before loading leaves
+            if {k: meta.get(k) for k in ckpt_meta} != ckpt_meta:
+                log("resume: checkpoint plan %s does not match current "
+                    "sweep plan %s (different flags?)", meta, ckpt_meta)
+                return 1
+            acc, _ = load_checkpoint(resume_path, acc)
+            log("Resumed integration (%d samples accumulated).",
+                int(np.max(np.asarray(acc.samples))))
+
+    def save_ckpt(a):
+        if checkpoint_path is None:
+            return
+        import jax as _jax
+        from rx_tools_tpu.stream.checkpoint import save_checkpoint
+        save_checkpoint(checkpoint_path, _jax.device_get(a), meta=ckpt_meta)
+
     start = time.time()
     next_tick = start + interval
     rc = 0
@@ -243,9 +284,11 @@ def main(argv=None) -> int:
                     acc = hop_sharded_sweep(cfg, acc, blocks, mesh)
                 else:
                     acc = powerscan.sweep_step(cfg, acc, blocks)
+                save_ckpt(acc)
             now = time.time()
             if now >= next_tick or single or bail[0]:
                 acc = _flush_csv(out, tunes, cfg, acc, h_pad)
+                save_ckpt(acc)     # persist the post-flush reset too
                 while next_tick <= now:
                     next_tick += interval
             if single:

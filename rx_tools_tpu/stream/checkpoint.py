@@ -15,17 +15,30 @@ user ``meta`` dict — dependency-free and forward-compatible.
 from __future__ import annotations
 
 import json
+import os
 
 import jax
 import numpy as np
 
 
 def save_checkpoint(path: str, state, meta: dict | None = None) -> None:
+    """Atomic: a kill mid-save leaves the previous checkpoint intact
+    (write to a sibling temp file, then ``os.replace``)."""
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def read_meta(path: str) -> dict:
+    """Read just the meta dict — cheap pre-validation before committing to
+    a full state restore (shape mismatches raise from load_checkpoint)."""
+    with np.load(path) as z:
+        return json.loads(bytes(z["__meta__"].tobytes()).decode() or "{}")
 
 
 def load_checkpoint(path: str, state_like):

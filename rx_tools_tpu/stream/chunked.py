@@ -36,7 +36,9 @@ class ChunkedFmRunner:
                  sink: Callable[[np.ndarray, float], None],
                  chunk: int = 8, block_size: int | None = None,
                  on_squelch: Callable[[], bool] | None = None,
-                 exit_on_squelch: bool = False):
+                 exit_on_squelch: bool = False,
+                 checkpoint_path: str | None = None,
+                 checkpoint_every: int = 0):
         self.cfg = cfg
         self.source = source
         self.sink = sink
@@ -50,9 +52,52 @@ class ChunkedFmRunner:
         self.state = fmchain.init_state(cfg)
         self.stats = RunnerStats()
         self._stop = False
+        # periodic state snapshots (SURVEY.md §5 checkpoint/resume): every
+        # `checkpoint_every` blocks (0 = every drained chunk) save the carried
+        # pytree + counters needed to continue bit-identically
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = int(checkpoint_every)
+        self._last_ckpt_blocks = 0
 
     def stop(self) -> None:
         self._stop = True
+
+    def restore(self, path: str) -> dict:
+        """Load a checkpoint written by a previous run.
+
+        Restores the carried DSP state and the squelch counter; returns the
+        meta dict so the caller can reposition the source
+        (``meta["samples_in"]`` complex samples consumed) and the output
+        (``meta["samples_out"]`` int16 samples emitted).
+        """
+        from rx_tools_tpu.stream.checkpoint import load_checkpoint
+        state, meta = load_checkpoint(path, self.state)
+        self.state = state
+        self._hits = int(meta.get("hits", self._hits))
+        self._last_ckpt_blocks = 0
+        # counters continue cumulatively so a later checkpoint (or a second
+        # resume) stays coherent with the overall stream position
+        self.stats.blocks = int(meta.get("blocks", 0))
+        self.stats.samples_in = int(meta.get("samples_in", 0))
+        self.stats.samples_out = int(meta.get("samples_out", 0))
+        return meta
+
+    def _maybe_checkpoint(self, state, blocks: int, samples_in: int) -> None:
+        """Called after a drain: `state` is the carried state at the point
+        where exactly `samples_in` source samples were consumed and
+        `self.stats.samples_out` audio samples were emitted — the coherent
+        triple a resume needs."""
+        if self.checkpoint_path is None:
+            return
+        if blocks - self._last_ckpt_blocks < self.checkpoint_every:
+            return
+        from rx_tools_tpu.stream.checkpoint import save_checkpoint
+        save_checkpoint(self.checkpoint_path, jax.device_get(state),
+                        meta={"blocks": blocks, "samples_in": samples_in,
+                              "samples_out": self.stats.samples_out,
+                              "hits": self._hits,
+                              "block_size": self.block_size})
+        self._last_ckpt_blocks = blocks
 
     def warmup(self) -> None:
         """Compile the chain and exercise one D2H round trip.
@@ -67,7 +112,7 @@ class ChunkedFmRunner:
 
     def run(self, max_blocks: int | None = None) -> RunnerStats:
         t0 = time.perf_counter()
-        pending = None
+        pending = None          # ((audio, n_valid, levels), ckpt snapshot)
         while not self._stop:
             blocks, n_read = self._read_chunk(max_blocks)
             if blocks is None:
@@ -76,13 +121,16 @@ class ChunkedFmRunner:
                 self.cfg, self.state, blocks)
             self.stats.blocks += blocks.shape[0]
             self.stats.samples_in += n_read
+            snap = (self.state, self.stats.blocks, self.stats.samples_in)
             if pending is not None:
-                self._drain(*pending)
-            pending = (audio, n_valid, levels)
+                self._drain(*pending[0])
+                self._maybe_checkpoint(*pending[1])
+            pending = ((audio, n_valid, levels), snap)
             if max_blocks is not None and self.stats.blocks >= max_blocks:
                 break
         if pending is not None:
-            self._drain(*pending)
+            self._drain(*pending[0])
+            self._maybe_checkpoint(*pending[1])
         self.stats.wall_s = time.perf_counter() - t0
         return self.stats
 

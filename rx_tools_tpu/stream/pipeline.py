@@ -71,7 +71,11 @@ class StreamRunner:
     def __init__(self, step: Callable, state, source: Source, block_size: int,
                  sink: Callable[[np.ndarray, float], None],
                  on_squelch: Callable[[], bool] | None = None,
-                 conseq_squelch: int = 10):
+                 conseq_squelch: int = 10,
+                 exit_on_squelch: bool = False,
+                 squelch_zero: bool = False,
+                 checkpoint_path: str | None = None,
+                 checkpoint_every: int = 0):
         self.step = step
         self.state = state
         self.source = source
@@ -80,13 +84,50 @@ class StreamRunner:
         self.on_squelch = on_squelch
         self.conseq_squelch = conseq_squelch
         self.squelch_level = 0.0       # set by the app when -l is given
+        self.exit_on_squelch = exit_on_squelch   # -t negative (rtl_fm.c:925-927)
+        self.squelch_zero = squelch_zero         # -E zero (rtl_fm.c:929-937)
         self._hits = conseq_squelch + 1  # start muted (rtl_fm.c:1089-1091)
         self.stats = RunnerStats()
         self._stop = False
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = int(checkpoint_every) or 1
+        self._last_ckpt_blocks = 0
 
     def stop(self) -> None:
         """Signal-handler safe stop request (the ``do_exit`` analog)."""
         self._stop = True
+
+    def warmup(self) -> None:
+        """Compile the step and exercise one D2H round trip (the first
+        transfer over a tunneled device pays a large one-time cost)."""
+        buf = np.zeros(2 * self.block_size, np.int16)
+        _, out, n_valid, level = self.step(self.state, buf)
+        jax.device_get((out[:1], n_valid, level))
+
+    def restore(self, path: str) -> dict:
+        """Load a ChunkedFmRunner/StreamRunner checkpoint (same format)."""
+        from rx_tools_tpu.stream.checkpoint import load_checkpoint
+        state, meta = load_checkpoint(path, self.state)
+        self.state = state
+        self._hits = int(meta.get("hits", self._hits))
+        self._last_ckpt_blocks = 0
+        self.stats.blocks = int(meta.get("blocks", 0))
+        self.stats.samples_in = int(meta.get("samples_in", 0))
+        self.stats.samples_out = int(meta.get("samples_out", 0))
+        return meta
+
+    def _maybe_checkpoint(self, state, blocks: int, samples_in: int) -> None:
+        if self.checkpoint_path is None:
+            return
+        if blocks - self._last_ckpt_blocks < self.checkpoint_every:
+            return
+        from rx_tools_tpu.stream.checkpoint import save_checkpoint
+        save_checkpoint(self.checkpoint_path, jax.device_get(state),
+                        meta={"blocks": blocks, "samples_in": samples_in,
+                              "samples_out": self.stats.samples_out,
+                              "hits": self._hits,
+                              "block_size": self.block_size})
+        self._last_ckpt_blocks = blocks
 
     def run(self, max_blocks: int | None = None) -> RunnerStats:
         t0 = time.perf_counter()
@@ -106,6 +147,7 @@ class StreamRunner:
             self.state, out, n_valid, level = self.step(self.state, buf)
             self.stats.blocks += 1
             self.stats.samples_in += n_read
+            snap = (self.state, self.stats.blocks, self.stats.samples_in)
             done = max_blocks is not None and self.stats.blocks >= max_blocks
             # while the device crunches, fetch the NEXT block from the
             # source — but only if we will process it (a prefetched block
@@ -113,13 +155,15 @@ class StreamRunner:
             next_read = None if done else self._read_block()
             # drain the previous result (already materialised by now)
             if pending is not None:
-                self._drain(*pending)
-            pending = (out, n_valid, level)
+                self._drain(*pending[0])
+                self._maybe_checkpoint(*pending[1])
+            pending = ((out, n_valid, level), snap)
             if done:
                 break
             n_read, buf = next_read
         if pending is not None:
-            self._drain(*pending)
+            self._drain(*pending[0])
+            self._maybe_checkpoint(*pending[1])
         self.stats.wall_s = time.perf_counter() - t0
         return self.stats
 
@@ -139,18 +183,29 @@ class StreamRunner:
         out_np, n_valid, lvl = jax.device_get((out, n_valid, level))
         out_np = out_np[: int(n_valid)]
         lvl = float(lvl)
-        self.stats.samples_out += out_np.shape[0]
         # host-side hop control (demod_thread_fn squelch logic,
-        # rtl_fm.c:923-932): after conseq_squelch consecutive quiet blocks,
-        # ask the controller to retune.
+        # rtl_fm.c:923-937); dispositions match ChunkedFmRunner._drain
         if self.squelch_level > 0:
             if lvl < self.squelch_level:
                 self._hits += 1
             else:
                 self._hits = 0
-            if self._hits > self.conseq_squelch and self.on_squelch is not None:
-                if self.on_squelch():
-                    self.stats.squelch_hops += 1
-                    self._hits = 0
-                return  # squelched block is not emitted while scanning
+            if self._hits > self.conseq_squelch:
+                if self.exit_on_squelch:
+                    # -t negative: terminate_on_squelch (rtl_fm.c:925-927)
+                    self.stop()
+                    return
+                if self.squelch_zero:
+                    # -E zero: emit the (already zeroed) audio
+                    self.stats.samples_out += out_np.shape[0]
+                    self.sink(out_np, lvl)
+                    return
+                if self.on_squelch is not None:
+                    # scanning: hop and skip output; hits stay high so the
+                    # next quiet block hops again (rtl_fm.c:928-932)
+                    if self.on_squelch():
+                        self.stats.squelch_hops += 1
+                    return
+                return  # single freq: skip output while squelched
+        self.stats.samples_out += out_np.shape[0]
         self.sink(out_np, lvl)
