@@ -9,7 +9,13 @@ The capture-rate hot path of the FM chain (SURVEY.md §3.1 hot loops) is
 Everything downstream runs at 1/D the rate and is cheap.  This kernel fuses
 the three capture-rate stages into one VMEM-resident pass so the only HBM
 traffic is the raw int16 block in (4 B/complex sample) and the tiny
-decimated block out — speed-of-light for an HBM-bound op.
+decimated block out.
+
+STATUS — measured on the real chip and NOT the production default: XLA
+already fuses the identical jnp composition into the downstream chain with
+no materialised intermediate, and beats this kernel by ~15x end-to-end
+(see ``capture_frontend`` below and docs/PERF.md).  The kernel is kept as
+an opt-in (``RX_PALLAS=1``) A/B reference and a worked Pallas example.
 
 Layout trick: one complex int16 sample (I, Q interleaved, little-endian) is
 exactly one int32 lane, so the input is bitcast to int32 shaped ``(N/D, D)``
@@ -107,16 +113,35 @@ def capture_frontend_jnp(block_i16, downsample: int, rotate: bool = True):
 
 
 def capture_frontend(block_i16, downsample: int, rotate: bool = True):
-    """Dispatch: Pallas on TPU, jnp elsewhere.
+    """Production frontend dispatch: XLA-fused jnp by default.
 
     This IS the production frontend: ``fm_chain_step`` / ``fm_chunk_step``
     call it for every boxcar-decimation chain (the default rx_fm path).
-    ``RX_NO_PALLAS=1`` forces the jnp composition for A/B measurement.
+
+    Measured finding (round 2, real v5e chip, WBFM geometry D=14,
+    262k-sample blocks; see docs/PERF.md "Pallas frontend"): dispatching
+    the hand-written Pallas kernel here cost the FULL chain ~15x
+    (flat engine 0.90 G samp/s vs 13.7 G with ``RX_NO_PALLAS=1``).  Two
+    reasons, both structural:
+
+    1. a ``pallas_call`` is a fusion barrier — the (N/D, 2) f32
+       intermediate round-trips through HBM, where XLA otherwise fuses
+       rescale+rotate+decimate INTO the downstream fifth-order/discriminator
+       loops and never materialises it;
+    2. the natural ``(rows, D)`` layout puts D=14 on the 128-wide lane
+       axis (11% VPU utilisation), and for rows with no large power-of-2
+       divisor (262192/14 = 18728 = 8 x 2341, 2341 prime) the grid
+       degenerates to thousands of 448-byte tiles.
+
+    XLA's own fusion already saturates this HBM-bound op, so the kernel is
+    opt-in (``RX_PALLAS=1``) for A/B measurement rather than the default.
+    ``RX_NO_PALLAS=1`` still forces jnp (kept so existing A/B scripts work).
     """
     import os
     n = block_i16.shape[0] // 2
     rows = n // int(downsample)
     if (jax.default_backend() == "tpu" and rows % 8 == 0
+            and os.environ.get("RX_PALLAS")
             and not os.environ.get("RX_NO_PALLAS")):
         return capture_frontend_pallas(block_i16, downsample, rotate)
     return capture_frontend_jnp(block_i16, downsample, rotate)
