@@ -18,7 +18,8 @@ from rx_tools_tpu.ops.fir import (
     low_pass_simple,
 )
 from rx_tools_tpu.ops.discriminators import (
-    polar_discriminant, fast_atan2, polar_disc_fast, esbensen_disc,
+    polar_discriminant, fast_atan2, polar_disc_fast, polar_disc_lut,
+    esbensen_disc,
     fm_discriminate, fm_discriminate_batch, disc_mode,
     DISC_STD, DISC_FAST, DISC_LUT, DISC_ALE,
 )

@@ -9,9 +9,14 @@ is preserved here for output parity.
 - ``std``  — true atan2 (``polar_discriminant``, ``rtl_fm.c:476-483``)
 - ``fast`` — octant linear-blend approximation (``fast_atan2``,
   ``rtl_fm.c:485-506``), reproduced in float arithmetic
-- ``lut``  — the reference's 512 KB atan LUT (``rtl_fm.c:515-564``); on TPU a
-  transcendental is cheaper than a gather, so this maps to ``std`` (the LUT
-  is itself a quantized atan; accuracy class is identical)
+- ``lut``  — the reference's 512 KB atan LUT (``rtl_fm.c:515-564``),
+  reproduced bit-faithfully: the identical table (host-built with libm
+  ``atan`` exactly like ``atan_lut_init``) lives device-resident and the
+  index arithmetic keeps C truncating integer division — including the
+  reference's x==0 quirk where a tiny SAME-sign phase delta returns
+  ``1<<14`` (pi) instead of ~0 because the else-branch fires with
+  ``atan_lut[0] == 0`` (``rtl_fm.c:557-561``); golden-tested bit-exact
+  against the oracle
 - ``ale``  — the atan-free Esbensen discriminator (``rtl_fm.c:566-582``)
 
 Block-vectorized: the per-sample C loop becomes one fused elementwise pass
@@ -61,6 +66,64 @@ def polar_disc_fast(cr, cj):
     return fast_atan2(cj, cr)
 
 
+_ATAN_LUT_COEF = 8                       # rtl_fm.c:92
+_ATAN_LUT_SIZE = 131072                  # rtl_fm.c:93
+_atan_lut_cache = None
+
+
+def _atan_lut_host():
+    """The reference's LUT, built exactly like ``atan_lut_init``
+    (rtl_fm.c:515-526): libm double atan, the 3.14159 literal, C int cast
+    (truncation; entries are non-negative so == floor). 512 KB as int32 in
+    the reference; values fit int16 but int32 is kept for a cheap gather."""
+    global _atan_lut_cache
+    if _atan_lut_cache is None:
+        import math
+        _atan_lut_cache = np.array(
+            [int(math.atan(i / (1 << _ATAN_LUT_COEF)) / 3.14159 * (1 << 14))
+             for i in range(_ATAN_LUT_SIZE)], np.int32)
+    return _atan_lut_cache
+
+
+def polar_disc_lut(cr, cj):
+    """Bit-faithful LUT discriminator (``polar_disc_lut``, rtl_fm.c:528-564).
+
+    Inputs are rounded to int32 first: the reference's ``lp[]`` is int16 so
+    its ``cr``/``cj`` are exact integers, and the LUT output is itself
+    quantized to pi/2**14 — rounding is the closest float-chain analog of
+    that integer domain. Valid domain |cj| <= 2**23 (so ``cj << 8`` fits
+    int32), which covers the reference's own assumption ("absolute maximum
+    2097152", rtl_fm.c:548).
+
+    Quirks reproduced on purpose (all golden-tested):
+      - C truncating division in ``x = (cj << 8) / cr``;
+      - the x==0 else-branch: a same-sign pair with |angle| < atan(1/256)
+        returns ``1<<14`` (cj>0) or 0 (cj<0) — rtl_fm.c:557-561;
+      - saturation to +/-(1<<13) when |x| >= the table size;
+      - the cr==0 / cj==0 special-case ladder (rtl_fm.c:535-546).
+    """
+    lut = jnp.asarray(_atan_lut_host())
+    cri = jnp.round(cr).astype(jnp.int32)
+    cji = jnp.round(cj).astype(jnp.int32)
+    num = cji << _ATAN_LUT_COEF
+    den = jnp.where(cri == 0, 1, cri)               # guarded; masked below
+    # C '/' truncates toward zero
+    x = jnp.sign(num) * jnp.sign(den) * (jnp.abs(num) // jnp.abs(den))
+    x_abs = jnp.abs(x)
+    l = lut[jnp.clip(x_abs, 0, _ATAN_LUT_SIZE - 1)]
+    pos = jnp.where(cji > 0, l, l - (1 << 14))
+    neg = jnp.where(cji > 0, (1 << 14) - l, -l)
+    r = jnp.where(x > 0, pos, neg)
+    r = jnp.where(x_abs >= _ATAN_LUT_SIZE,
+                  jnp.where(cji > 0, 1 << 13, -(1 << 13)), r)
+    r = jnp.where((cji == 0) & (cri > 0), 0, r)
+    r = jnp.where((cji == 0) & (cri < 0), 1 << 14, r)
+    r = jnp.where((cri == 0) & (cji > 0), 1 << 13, r)
+    r = jnp.where((cri == 0) & (cji < 0), -(1 << 13), r)
+    r = jnp.where((cri == 0) & (cji == 0), 0, r)
+    return r.astype(jnp.float32)
+
+
 def esbensen_disc(ar, aj, br, bj):
     """Atan-free: ``imag(ds * conj(s)) / |s|^2`` (rtl_fm.c:566-582).
 
@@ -89,10 +152,11 @@ def fm_discriminate_batch(prev, x, mode: int):
     br, bj = xs[:, :-1, 0], xs[:, :-1, 1]
     cr = ar * br + aj * bj
     cj = aj * br - ar * bj
-    if mode in (DISC_STD, DISC_LUT):
+    if mode == DISC_STD:
         d = polar_discriminant(cr, cj)
-    elif mode in (DISC_FAST, DISC_ALE):
+    elif mode in (DISC_FAST, DISC_LUT, DISC_ALE):
         d = (polar_disc_fast(cr, cj) if mode == DISC_FAST
+             else polar_disc_lut(cr, cj) if mode == DISC_LUT
              else esbensen_disc(ar, aj, br, bj))
         d = jnp.concatenate(
             [polar_discriminant(cr[:, :1], cj[:, :1]), d[:, 1:]], axis=1)
@@ -120,11 +184,13 @@ def fm_discriminate(prev, x, mode: int, seam_stride: int | None = None):
     # c = a * conj(b)
     cr = ar * br + aj * bj
     cj = aj * br - ar * bj
-    if mode in (DISC_STD, DISC_LUT):
+    if mode == DISC_STD:
         d = polar_discriminant(cr, cj)
-    elif mode in (DISC_FAST, DISC_ALE):
+    elif mode in (DISC_FAST, DISC_LUT, DISC_ALE):
         if mode == DISC_FAST:
             d = polar_disc_fast(cr, cj)
+        elif mode == DISC_LUT:
+            d = polar_disc_lut(cr, cj)
         else:
             d = esbensen_disc(ar, aj, br, bj)
         if seam_stride is None:

@@ -33,6 +33,48 @@ def test_fm_discriminate_fast_vs_oracle():
     assert snr_db(np.array(ref, np.float64), np.asarray(d)) > 35
 
 
+def test_fm_discriminate_lut_bit_exact_vs_oracle():
+    """DISC_LUT reproduces the reference's quantized LUT output bit-for-bit
+    on integer inputs (rtl_fm.c:528-564), seam sample excluded (the seam
+    uses std atan2 in both, but the oracle truncates it to int)."""
+    blk = _iq(2048, seed=11)
+    ref, _ = c_ref.fm_demod(blk, 10, -5, custom_atan=2)
+    prev = jnp.asarray([10.0, -5.0], jnp.float32)
+    x = jnp.asarray(blk, jnp.float32).reshape(-1, 2)
+    _, d = ops.fm_discriminate(prev, x, ops.DISC_LUT)
+    got = np.asarray(d)
+    np.testing.assert_array_equal(got[1:], np.array(ref[1:], np.float64))
+    assert abs(got[0] - ref[0]) < 1.0       # std seam: float vs int-trunc
+
+
+def test_polar_disc_lut_quirks():
+    """The LUT path's corner cases, each matched to the C control flow."""
+    def both(ar, aj, br, bj):
+        o = c_ref.polar_disc_lut(ar, aj, br, bj)
+        cr = np.float32(ar * br + aj * bj)
+        cj = np.float32(aj * br - ar * bj)
+        g = float(np.asarray(ops.polar_disc_lut(jnp.float32(cr),
+                                                jnp.float32(cj))))
+        assert g == o, (ar, aj, br, bj, g, o)
+        return o
+    # x==0 quirk: tiny same-sign angle returns pi (1<<14), not ~0
+    assert both(1000, 1, 1, 0) == 1 << 14        # c=(1000,1): rtl_fm.c:560
+    assert both(1000, -1, 1, 0) == 0             # c=(1000,-1): -lut[0] == 0
+    # special-case ladder (rtl_fm.c:535-546)
+    assert both(0, 0, 0, 0) == 0
+    assert both(0, 5, 1, 0) == 1 << 13           # cr==0, cj>0
+    assert both(0, -5, 1, 0) == -(1 << 13)       # cr==0, cj<0
+    assert both(7, 0, 1, 0) == 0                 # cj==0, cr>0
+    assert both(-7, 0, 1, 0) == 1 << 14          # cj==0, cr<0
+    # saturation: |x| >= table size -> +/-(1<<13)
+    assert both(1, 600, 1, 0) == 1 << 13
+    assert both(1, -600, 1, 0) == -(1 << 13)
+    # all four quadrants away from the corners
+    for a, b in [((30, 40), (5, 1)), ((-30, 40), (5, 1)),
+                 ((-30, -40), (5, 1)), ((30, -40), (5, 1))]:
+        both(a[0], a[1], b[0], b[1])
+
+
 def test_fm_discriminate_esbensen_vs_oracle():
     # esbensen approximates w only for small per-sample phase steps; use a
     # clean slow tone rather than white noise
