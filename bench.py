@@ -69,12 +69,14 @@ def main():
     state0 = fmchain.init_state(cfg)
     work = blocks_per_chunk * n          # I/Q samples per chain iteration
 
-    def make_run(engine, n_chunks):
-        """Process the first ``n_chunks`` resident chunks in ONE program,
+    def make_run(engine, n_passes):
+        """Process the chunk pool ``n_passes`` times in ONE program,
         measured so XLA cannot cheat:
 
         - every chunk is distinct data (static index into the resident
-          array), so no capture-rate work is loop-invariant or CSE-able;
+          array), and every pass perturbs it with the pass index (one
+          fused int16 add at capture rate), so no capture-rate work is
+          loop-invariant or CSE-able across chunks OR passes;
         - the carried DSP state threads through all chunks, so the chain
           semantics are the real streaming semantics;
         - the returned scalar folds in a checksum of every output, so dead
@@ -84,17 +86,22 @@ def main():
         @jax.jit
         def run(st):
             acc = jnp.zeros(())
-            for c in range(n_chunks):
-                st, audio, n_valid, levels = engine(cfg, st, data_dev[c])
-                acc = (acc + jnp.sum(audio)
-                       + n_valid.sum().astype(jnp.float32) + jnp.sum(levels))
+            for r in range(n_passes):
+                for c in range(N_CHUNKS):
+                    st, audio, n_valid, levels = engine(
+                        cfg, st, data_dev[c] + jnp.int16(r))
+                    acc = (acc + jnp.sum(audio)
+                           + n_valid.sum().astype(jnp.float32)
+                           + jnp.sum(levels))
             return acc + st.deemph_avg + st.prev_iq[0]
         return run
 
     def measure(engine, k1, k2, reps=14):
-        """Marginal device time per chunk: median(t(k2)) - median(t(k1)).
+        """Marginal device time per pool pass: median(t(k2)) - median(t(k1)).
         The tunnel RPC adds ~30 ms +/- ms-scale jitter to every call;
-        differencing removes the mean and the median tames the jitter."""
+        differencing removes the mean, the median tames the jitter, and
+        the pass loop keeps the marginal work (~(k2-k1)*4*12*262k samples)
+        an order of magnitude above the jitter floor."""
         import statistics
         r1, r2 = make_run(engine, k1), make_run(engine, k2)
         float(r1(state0))                       # compile + first-fetch path
@@ -108,7 +115,7 @@ def main():
         dt = (statistics.median(t2s) - statistics.median(t1s)) / (k2 - k1)
         if dt <= 0:
             return 0.0                          # jitter swamped the marginal
-        return work / dt
+        return work * N_CHUNKS / dt
 
     # two equivalent engines (golden-tested identical): the per-block
     # traced-loop engine and the scan-free flat formulation
@@ -116,9 +123,9 @@ def main():
     # the chip's delivered rate fluctuates over seconds (shared tunnel /
     # power states): take the median of 3 measurement rounds per engine
     import statistics
-    rounds = {"scan": [measure(scan_fm_blocks, 1, N_CHUNKS)
+    rounds = {"scan": [measure(scan_fm_blocks, 1, 4)
                        for _ in range(3)],
-              "flat": [measure(fmchunk.fm_chunk_step, 1, N_CHUNKS)
+              "flat": [measure(fmchunk.fm_chunk_step, 1, 4)
                        for _ in range(3)]}
     results = {k: statistics.median(v) for k, v in rounds.items()}
     engine, rate = max(results.items(), key=lambda kv: kv[1])
