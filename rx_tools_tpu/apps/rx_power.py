@@ -168,6 +168,26 @@ def main(argv=None) -> int:
     for line in describe_plan(tunes):
         log("%s", line)
 
+    # --- multi-process sweep division (docs/MULTIHOST.md) -------------------
+    # each process retunes/reads/integrates only its own contiguous slice of
+    # the tune table; the primary stitches gathered accumulators into the CSV.
+    # This parallelizes the reference's serial hop loop
+    # (rtl_power.c:670-772) across hosts — N hosts sweep N-ways faster, each
+    # paying only its own retune settles.
+    n_proc = multihost.process_count()
+    pid = 0
+    hops_per_proc = len(tunes)
+    my_lo = 0
+    my_tunes = tunes
+    if n_proc > 1:
+        import jax as _jax
+        pid = _jax.process_index()
+        hops_per_proc = -(-len(tunes) // n_proc)       # uniform across procs
+        my_lo = pid * hops_per_proc
+        my_tunes = tunes[my_lo: my_lo + hops_per_proc]
+        log("Multi-process sweep: process %d/%d owns hops %d..%d of %d.",
+            pid, n_proc, my_lo, my_lo + len(my_tunes) - 1, len(tunes))
+
     # two-stage SIGINT (rtl_power.c:175-204)
     bail = [0]
 
@@ -204,19 +224,23 @@ def main(argv=None) -> int:
 
     # --- hop-axis sharding over the local mesh (SURVEY.md §2.6) ------------
     # every device integrates its own hops' FFTs; the only cross-device
-    # traffic is the host gather at CSV flush (parallel/hopshard.py)
+    # traffic is the host gather at CSV flush (parallel/hopshard.py).
+    # In a multi-process job the mesh is process-local (each host shards its
+    # own hop slice over its own chips); cross-process traffic is only the
+    # accumulator allgather at flush.
     import jax
-    ndev = len(jax.devices())
+    local_devs = jax.local_devices() if n_proc > 1 else jax.devices()
+    ndev = len(local_devs)
     want = ndev if dev_parallel <= 0 else min(dev_parallel, ndev)
-    n_mesh = max(1, min(want, len(tunes)))
+    n_mesh = max(1, min(want, hops_per_proc))
     mesh = None
-    h_pad = len(tunes)
+    h_pad = hops_per_proc
     if n_mesh > 1:
         from rx_tools_tpu.parallel import make_mesh
-        mesh = make_mesh(n_mesh, axis="h")
-        h_pad = -(-len(tunes) // n_mesh) * n_mesh   # pad H to mesh multiple
+        mesh = make_mesh(n_mesh, axis="h", devices=local_devs)
+        h_pad = -(-hops_per_proc // n_mesh) * n_mesh  # pad H to mesh multiple
         log("Sharding %d hops over %d devices (%d rows incl. padding).",
-            len(tunes), n_mesh, h_pad)
+            len(my_tunes), n_mesh, h_pad)
 
     acc = powerscan.new_sweep_accum(h_pad, cfg)
 
@@ -226,7 +250,7 @@ def main(argv=None) -> int:
     if resume_path and checkpoint_path is None:
         checkpoint_path = resume_path
     ckpt_meta = {"h_pad": h_pad, "bin_e": cfg.bin_e, "buf_len": cfg.buf_len,
-                 "n_tunes": len(tunes)}
+                 "n_tunes": len(tunes), "n_proc": n_proc, "pid": pid}
     if resume_path:
         import os
         from rx_tools_tpu.stream.checkpoint import load_checkpoint, read_meta
@@ -258,13 +282,14 @@ def main(argv=None) -> int:
     with common.suppress_stdout():
         src.activate()
     try:
-        while bail[0] == 0:
-            # one full sweep: retune + read every hop, then integrate all
-            # hops in one batched (and hop-sharded) device step; padding
-            # rows stay zero and are never flushed
+        while True:
+            # one sweep over THIS process's hop slice: retune + read every
+            # owned hop, then integrate them in one batched (and
+            # hop-sharded) device step; padding rows stay zero and are
+            # never flushed
             blocks = np.zeros((h_pad, t0.buf_len), np.int16)
             aborted = False
-            for i, t in enumerate(tunes):
+            for i, t in enumerate(my_tunes):
                 if bail[0] >= 2:
                     aborted = True
                     break
@@ -286,14 +311,24 @@ def main(argv=None) -> int:
                     acc = powerscan.sweep_step(cfg, acc, blocks)
                 save_ckpt(acc)
             now = time.time()
-            if now >= next_tick or single or bail[0]:
-                acc = _flush_csv(out, tunes, cfg, acc, h_pad)
+            want_flush = bool(now >= next_tick or single or bail[0])
+            want_stop = bool(single or bail[0]
+                             or (exit_timer and now - start >= exit_timer))
+            if n_proc > 1:
+                # control decisions are single-sourced from the primary so
+                # every process enters the flush allgather in lockstep
+                # (the controller-thread pattern of rtl_fm.c:999-1050,
+                # stretched across the DCN)
+                f = multihost.broadcast_flags(
+                    np.array([int(want_flush), int(want_stop)], np.int32))
+                want_flush, want_stop = bool(f[0]), bool(f[1])
+            if want_flush:
+                acc = _flush_csv(out, tunes, cfg, acc, h_pad,
+                                 hops_per_proc=hops_per_proc)
                 save_ckpt(acc)     # persist the post-flush reset too
                 while next_tick <= now:
                     next_tick += interval
-            if single:
-                break
-            if exit_timer and now - start >= exit_timer:
+            if want_stop:
                 break
     finally:
         src.deactivate()
@@ -316,12 +351,21 @@ def _retune(src, freq, sleep_usec, retry_max):
     log("WARNING: read_stream failed to settle, try increasing -S or -R")
 
 
-def _flush_csv(out, tunes, cfg, acc, h_pad=None):
+def _flush_csv(out, tunes, cfg, acc, h_pad=None, hops_per_proc=None):
     """Timestamped CSV rows per hop + accumulator reset
-    (rtl_power.c:1041-1051, 774-817).  ``h_pad`` >= len(tunes) when the
-    accumulators carry sharding pad rows (flushed rows = tunes only)."""
-    avg = np.asarray(acc.avg)          # gathers sharded accumulators
+    (rtl_power.c:1041-1051, 774-817).  ``h_pad`` >= hops-this-process-owns
+    when the accumulators carry sharding pad rows (flushed rows = tunes
+    only).  In a multi-process job every process calls this (the allgather
+    is collective); only the primary writes."""
+    from rx_tools_tpu.parallel import multihost
+    avg = np.asarray(acc.avg)          # gathers device-sharded accumulators
     samples = np.asarray(acc.samples)
+    if multihost.process_count() > 1:
+        # stitch the partitioned sweep: process p owns the contiguous hop
+        # slice [p*hops_per_proc, (p+1)*hops_per_proc); gather and flatten
+        per = hops_per_proc
+        avg = multihost.allgather(avg[:per]).reshape(-1, avg.shape[-1])
+        samples = multihost.allgather(samples[:per]).reshape(-1)
     stamp = time.strftime("%Y-%m-%d, %H:%M:%S")
     lines = []
     for i, t in enumerate(tunes):
@@ -329,7 +373,6 @@ def _flush_csv(out, tunes, cfg, acc, h_pad=None):
             avg[i], int(samples[i]), cfg, t.freq, t.rate, t.crop)
         vals = ", ".join("%.2f" % d for d in dbms)
         lines.append(f"{stamp}, {lo}, {hi}, {step:.2f}, {s}, {vals}\n")
-    from rx_tools_tpu.parallel import multihost
     if multihost.is_primary():
         out.write("".join(lines).encode() if _binary(out) else "".join(lines))
         out.flush()

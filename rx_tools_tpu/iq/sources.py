@@ -252,6 +252,14 @@ class SynthSource(Source):
       ``amp=<a1>[|...]``    — emitter amplitude relative to full scale (0.5)
       ``noise=<0..1>``      — AWGN sigma relative to full scale (0.001)
       ``seed=<int>``
+      ``det=1``             — deterministic-per-retune: every
+                              ``set_frequency`` resets the sample counter,
+                              NCO phases and noise RNG, so the stream after
+                              a retune is a pure function of the tuned
+                              frequency.  Makes hop reads independent of
+                              which process (or past sweep) performed them
+                              — the property the multi-process sweep
+                              equality tests rely on.
     """
 
     driver = "synth"
@@ -273,6 +281,7 @@ class SynthSource(Source):
         self.amps = [float(v) for v in str(kwargs.get("amp", "0.5")).split("|")]
         self.noise = float(kwargs.get("noise", "0.001"))
         self.seed = int(kwargs.get("seed", "0"))
+        self.det = bool(int(kwargs.get("det", "0")))
         self._rng = np.random.default_rng(self.seed)
         self._phase = None      # (E,) carrier NCO phases (radians)
         self._mod_phase = None  # (E,) audio/modulation phases
@@ -282,6 +291,13 @@ class SynthSource(Source):
         super().set_frequency(freq)
         if self.carriers is None:
             self.carriers = [float(freq)]
+        if self.det:
+            # deterministic-per-retune: the post-retune stream depends only
+            # on the tuned frequency, never on read history
+            self._rng = np.random.default_rng(self.seed)
+            self._phase = None
+            self._mod_phase = None
+            self._n = 0
         return 0
 
     @staticmethod

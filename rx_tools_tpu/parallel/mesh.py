@@ -21,9 +21,12 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "t") -> Mesh:
-    """1-D mesh over the first ``n_devices`` devices (default: all)."""
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "t",
+              devices=None) -> Mesh:
+    """1-D mesh over the first ``n_devices`` of ``devices`` (default: all
+    global devices; pass ``jax.local_devices()`` for a process-local mesh
+    in a multi-process job)."""
+    devs = jax.devices() if devices is None else list(devices)
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))

@@ -67,3 +67,39 @@ def init(coordinator_address: str | None = None,
 def is_primary() -> bool:
     """True on the process that should own stdout/CSV emission."""
     return jax.process_index() == 0
+
+
+def process_count() -> int:
+    """Number of processes in the distributed job (1 when single-host)."""
+    return jax.process_count()
+
+
+def allgather(arr):
+    """Gather a host-local array from every process: (P, *arr.shape).
+
+    The cross-process assembly step of a partitioned sweep: each process
+    integrates only its own hops' accumulators, and the primary stitches
+    the gathered stack into the global CSV (the TPU-native replacement for
+    the reference's serial hop loop, ``src/rtl_power.c:670-772``).
+    Single-process: returns ``arr[None]`` without touching collectives.
+    """
+    import numpy as np
+    if jax.process_count() == 1:
+        return np.asarray(arr)[None]
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=False))
+
+
+def broadcast_flags(flags):
+    """Broadcast a small int array from the primary to every process.
+
+    Keeps control decisions (flush now? stop now?) single-sourced so all
+    processes enter collectives in lockstep; follows the reference's
+    controller-thread pattern (one control plane, ``rtl_fm.c:999-1050``)
+    across the DCN.  Single-process: identity.
+    """
+    import numpy as np
+    if jax.process_count() == 1:
+        return np.asarray(flags)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.broadcast_one_to_all(flags))
