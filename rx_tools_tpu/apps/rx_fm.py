@@ -116,22 +116,11 @@ def parse_freq_args(freq_args: list[str]) -> list[float]:
     return freqs
 
 
-def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
-    """Offline multi-device demod (-E shard): the capture splits into S
-    contiguous time shards, one per device, processed in parallel with
-    overlap-save halo warm-up (``parallel/timeshard.py`` documents the
-    boundary semantics: FIR state exact, IIR transient bounded).  The tail
-    that doesn't divide evenly is replayed single-device with the same
-    halo trick, so output order and the emission grid match the streaming
-    runner's.  This is the user-reachable path for BASELINE.md's
-    multi-device scaling target on rx_fm chains."""
-    import jax
-    import jax.numpy as jnp
-    from rx_tools_tpu.parallel import make_mesh, time_sharded_fm
-    from rx_tools_tpu.stream.scan import stack_blocks, scan_fm_blocks
-
-    bs = fmchain.block_samples(cfg)
-    parts = []
+def _iter_pieces(src, elems: int):
+    """Yield the capture as int16 arrays of exactly ``elems`` elements
+    (plus one final short piece), reading the source incrementally —
+    memory held is one piece, never the whole recording."""
+    parts, total = [], 0
     while True:
         n, buf = src.read_stream(1 << 18)
         if n == 0:
@@ -141,48 +130,104 @@ def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
             sys.stderr.flush()
             continue
         parts.append(np.asarray(buf[: 2 * n]))
-    iq = np.concatenate(parts) if parts else np.zeros(0, np.int16)
-    blocks = stack_blocks(iq, bs)       # partial tail dropped, like the
-    total = blocks.shape[0]             # streaming runner (chunked.py)
+        total += 2 * n
+        while total >= elems:
+            iq = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            yield iq[:elems]
+            rest = iq[elems:]
+            parts, total = ([rest] if rest.size else []), int(rest.size)
+    if total:
+        yield parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
+    """Offline multi-device demod (-E shard): the capture streams through
+    in super-chunks of S x M blocks, each split into S contiguous time
+    shards (one per device) processed in parallel with overlap-save halo
+    warm-up (``parallel/timeshard.py`` documents the boundary semantics:
+    FIR state exact, IIR transient bounded).  Host memory is bounded by
+    ONE super-chunk (``RX_SHARD_BLOCKS`` sets M; default ~128 MB), the
+    reference's fixed-block streaming discipline (``rtl_fm.c:80-88``)
+    lifted to the mesh: super-chunk k+1's shard 0 receives super-chunk
+    k's trailing blocks as its left halo, so every boundary — interior or
+    between super-chunks — has identical semantics.  The tail that doesn't
+    fill a super-chunk is replayed single-device with the same halo trick,
+    so output order and the emission grid match the streaming runner's.
+    This is the user-reachable path for BASELINE.md's multi-device
+    scaling target on rx_fm chains."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from rx_tools_tpu.parallel import make_mesh, time_sharded_fm
+    from rx_tools_tpu.parallel.timeshard import resampler_modulus
+    from rx_tools_tpu.stream.scan import stack_blocks, scan_fm_blocks
+
+    bs = fmchain.block_samples(cfg)
     s = max(1, len(jax.devices()))
-    m = total // s
-    done = 0
-    if s > 1 and m > warmup:
-        log("Sharding %d blocks over %d devices (%d per shard).",
-            total, s, m)
-        mesh = make_mesh(s, axis="t")
-        sharded = blocks[: s * m].reshape(s, m, -1)
-        audio, n_valid = time_sharded_fm(cfg, jnp.asarray(sharded),
-                                         mesh=mesh, warmup=warmup)
-        audio, n_valid = jax.device_get((audio, n_valid))
-        for sh in range(s):
-            for i in range(m):
-                pcm = fmchain.audio_to_int16(audio[sh, i,
-                                                   : int(n_valid[sh, i])])
-                out.write(pcm.tobytes())
-        done = s * m
-    if done < total:
-        # tail (or a capture too short to shard): re-derive carried state
-        # by replaying the last `warmup` blocks, seed the resampler phase
-        # analytically (timeshard.py), then emit
-        replay = blocks[max(0, done - warmup): done]
-        st = fmchain.init_state(cfg)
-        if done and cfg.rate_out2 > 0:
-            import math
-            g = math.gcd(cfg.rate_out, cfg.rate_out2)
-            fast, slow = cfg.rate_out // g, cfg.rate_out2 // g
-            apb = bs // cfg.downsample // cfg.post_downsample
-            phase0 = ((done - replay.shape[0]) * apb * slow) % fast
-            st = st._replace(resamp=st.resamp._replace(
-                phase=jnp.int32(phase0)))
-        if replay.shape[0]:
-            st, _, _, _ = scan_fm_blocks(cfg, st, jnp.asarray(replay))
-        st, audio, n_valid, _ = scan_fm_blocks(cfg, st,
-                                               jnp.asarray(blocks[done:]))
-        audio, n_valid = jax.device_get((audio, n_valid))
-        for i in range(audio.shape[0]):
-            out.write(fmchain.audio_to_int16(
-                audio[i, : int(n_valid[i])]).tobytes())
+    m = int(os.environ.get("RX_SHARD_BLOCKS", "0"))
+    if m <= 0:
+        m = max(warmup + 1, (1 << 25) // (bs * 4))   # ~128 MB/super-chunk
+    mesh = make_mesh(s, axis="t") if s > 1 else None
+    fmod = resampler_modulus(cfg)
+    done = 0                      # global blocks emitted so far
+    tail_halo = None              # trailing `warmup` blocks of prev chunk
+    st = None                     # carried state once on the scan path
+    logged = False
+
+    for iq in _iter_pieces(src, s * m * 2 * bs):
+        full = iq.size == s * m * 2 * bs
+        if full and s > 1 and m > warmup:
+            # ---- sharded super-chunk ----------------------------------
+            if not logged:
+                log("Sharding super-chunks of %d blocks over %d devices "
+                    "(%d per shard).", s * m, s, m)
+                logged = True
+            blocks = iq.reshape(s * m, 2 * bs)
+            sharded = jnp.asarray(blocks.reshape(s, m, -1))
+            if tail_halo is None:
+                audio, n_valid = time_sharded_fm(
+                    cfg, sharded, mesh=mesh, warmup=warmup)
+            else:
+                audio, n_valid = time_sharded_fm(
+                    cfg, sharded, mesh=mesh, warmup=warmup, cont=True,
+                    halo0=jnp.asarray(tail_halo),
+                    block_offset_mod=jnp.int32(done % fmod))
+            audio, n_valid = jax.device_get((audio, n_valid))
+            for sh in range(s):
+                for i in range(m):
+                    pcm = fmchain.audio_to_int16(
+                        audio[sh, i, : int(n_valid[sh, i])])
+                    out.write(pcm.tobytes())
+            tail_halo = blocks[-warmup:].copy()
+            done += s * m
+            continue
+        # ---- tail (or capture too short / single device): stream it ----
+        blocks = stack_blocks(iq, bs)   # partial block dropped, like the
+        if not blocks.shape[0]:         # streaming runner (chunked.py)
+            continue
+        if st is None:
+            st = fmchain.init_state(cfg)
+            if done and cfg.rate_out2 > 0:
+                import math
+                g = math.gcd(cfg.rate_out, cfg.rate_out2)
+                slow = cfg.rate_out2 // g
+                apb = bs // cfg.downsample // cfg.post_downsample
+                phase0 = ((done - warmup) * apb * slow) % fmod
+                st = st._replace(resamp=st.resamp._replace(
+                    phase=jnp.int32(phase0)))
+            if done:                    # halo warm-up from the prev chunk
+                st, _, _, _ = scan_fm_blocks(cfg, st,
+                                             jnp.asarray(tail_halo))
+        # fixed-size sub-chunks: the traced block loop unrolls, so shapes
+        # must stay small and few (at most 2 compiled variants here)
+        TAIL = 8
+        for j in range(0, blocks.shape[0], TAIL):
+            st, audio, n_valid, _ = scan_fm_blocks(
+                cfg, st, jnp.asarray(blocks[j: j + TAIL]))
+            audio, n_valid = jax.device_get((audio, n_valid))
+            for i in range(audio.shape[0]):
+                out.write(fmchain.audio_to_int16(
+                    audio[i, : int(n_valid[i])]).tobytes())
 
 
 def main(argv=None) -> int:

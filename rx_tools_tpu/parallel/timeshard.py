@@ -62,15 +62,27 @@ def _resampler_phase(cfg: fmchain.FmConfig, audio_in_before: int):
     return (audio_in_before * slow) % fast
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh", "warmup"))
+@partial(jax.jit, static_argnames=("cfg", "mesh", "warmup", "cont"))
 def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
-                    warmup: int = 2):
+                    warmup: int = 2, cont: bool = False, halo0=None,
+                    block_offset_mod=None):
     """Process (S, M, 2N) int16 blocks, S sharded over ``mesh`` axis ``t``.
 
     Returns ``(audio (S, M, cap), n_valid (S, M))`` with the same sharding.
     Each shard's first ``warmup`` blocks of *output* correspond to its
     warm-up replay of the left neighbour's data and are already dropped:
     outputs are aligned to the shard's own M blocks.
+
+    Continuation mode (``cont=True``) chains super-chunks of a capture too
+    long to hold in memory (the ``-E shard`` streaming discipline,
+    mirroring the reference's fixed-block streaming ``rtl_fm.c:80-88``):
+    ``halo0`` is the trailing ``warmup`` blocks of the PREVIOUS super-chunk
+    (shard 0's left halo, replayed exactly like every interior shard
+    boundary) and ``block_offset_mod`` the global index of this
+    super-chunk's first block reduced mod the resampler modulus (see
+    :func:`resampler_modulus`), so every shard emits on the global output
+    grid.  Shapes are identical across super-chunks, so the whole run
+    compiles exactly twice (first chunk, continuation chunks).
     """
     s, m, twon = sharded_blocks.shape
     block_size = twon // 2
@@ -81,9 +93,12 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
     else:
         fast, slow = 1, 0
     audio_per_block = block_size // cfg.downsample // cfg.post_downsample
+    if not cont:
+        halo0 = jnp.zeros((warmup, twon), sharded_blocks.dtype)
+        block_offset_mod = jnp.int32(0)
 
-    def per_shard(blocks):
-        # blocks: (1, M, 2N) local slice
+    def per_shard(blocks, halo0, off_mod):
+        # blocks: (1, M, 2N) local slice; halo0/off_mod replicated
         blocks = blocks[0]
         idx = jax.lax.axis_index("t")
         # --- halo: trailing `warmup` blocks from the left neighbour -------
@@ -91,16 +106,18 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
         n_dev = jax.lax.axis_size("t")
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         halo = jax.lax.ppermute(halo, "t", perm)
-        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+        left0 = halo0 if cont else jnp.zeros_like(halo)
+        halo = jnp.where(idx == 0, left0, halo)
 
         # --- seed state: zero + analytic resampler phase ------------------
         # mod is taken factor-by-factor so int32 arithmetic cannot overflow
         # for arbitrarily long recordings.
         st = fmchain.init_state(cfg)
         f = max(fast, 1)
-        start_block = idx * m - warmup
+        start_block = off_mod + idx * m - warmup
         phase0 = (((start_block % f) * (audio_per_block % f)) % f * (slow % f)) % f
-        phase0 = jnp.where(idx == 0, 0, phase0)
+        if not cont:
+            phase0 = jnp.where(idx == 0, 0, phase0)
         st = st._replace(resamp=st.resamp._replace(
             phase=phase0.astype(jnp.int32)))
 
@@ -116,10 +133,11 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
         # warm-up replay (outputs discarded)
         for i in range(halo.shape[0]):
             st, _, _, _ = fmchain.fm_chain_step_impl(cfg, st, halo[i])
-        # shard 0 replayed zeros; reset its IIR/seam state back to init
-        fresh = fmchain.init_state(cfg)
-        st = jax.tree.map(
-            lambda warmed, f: jnp.where(idx == 0, f, warmed), st, fresh)
+        if not cont:
+            # shard 0 replayed zeros; reset its IIR/seam state back to init
+            fresh = fmchain.init_state(cfg)
+            st = jax.tree.map(
+                lambda warmed, f: jnp.where(idx == 0, f, warmed), st, fresh)
         audio, n_valid = [], []
         for i in range(blocks.shape[0]):
             st, a, nv, _ = fmchain.fm_chain_step_impl(cfg, st, blocks[i])
@@ -130,6 +148,17 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
         return audio[None], n_valid[None]
 
     spec = P("t", None, None)
-    fn = jax.shard_map(per_shard, mesh=mesh, in_specs=(spec,),
+    fn = jax.shard_map(per_shard, mesh=mesh,
+                       in_specs=(spec, P(None, None), P()),
                        out_specs=(P("t", None, None), P("t", None)))
-    return fn(sharded_blocks)
+    return fn(sharded_blocks, halo0, block_offset_mod)
+
+
+def resampler_modulus(cfg: fmchain.FmConfig) -> int:
+    """The modulus the global block index must be reduced by when seeding
+    a continuation super-chunk's resampler phase (``fast`` in the
+    reference's accumulate-and-dump resampler, ``rtl_fm.c:389-409``)."""
+    if cfg.rate_out2 <= 0:
+        return 1
+    import math
+    return cfg.rate_out // math.gcd(cfg.rate_out, cfg.rate_out2)

@@ -66,9 +66,15 @@ def _record(tmp_path, name, rate, n, carrier, f, dev="15k"):
     return cap
 
 
-def test_rx_fm_shard_exact_for_fir_only_chain(tmp_path):
+def test_rx_fm_shard_exact_for_fir_only_chain(tmp_path, monkeypatch):
     """-E shard == streaming run, byte for byte, when the chain has no IIR
-    stages (-M fm, no deemph/dc: halo warm-up is exact)."""
+    stages (-M fm, no deemph/dc: halo warm-up is exact).
+
+    RX_SHARD_BLOCKS=5 bounds the super-chunk to 8 devices x 5 blocks, so
+    this 96-block capture streams through as 2 full sharded super-chunks
+    (first + continuation-halo mode) plus a 16-block single-device tail —
+    all three paths of the bounded-memory pipeline, byte-compared against
+    the streaming run."""
     # -s 96k -> downsample 11 -> capture 1.056M; fs/4 = 264k
     cap = _record(tmp_path, "c.cs16", 1_056_000, 1_584_000,
                   carrier="100M", f="100.264M")
@@ -76,6 +82,7 @@ def test_rx_fm_shard_exact_for_fir_only_chain(tmp_path):
                  "-d", f"file={cap},format=CS16,rate=1056k"]
     a_stream, a_shard = tmp_path / "stream.raw", tmp_path / "shard.raw"
     assert rx_fm.main(base_args + [str(a_stream)]) == 0
+    monkeypatch.setenv("RX_SHARD_BLOCKS", "5")
     assert rx_fm.main(base_args + ["-E", "shard", str(a_shard)]) == 0
     s = np.fromfile(a_stream, np.int16)
     h = np.fromfile(a_shard, np.int16)
@@ -83,7 +90,7 @@ def test_rx_fm_shard_exact_for_fir_only_chain(tmp_path):
     np.testing.assert_array_equal(s, h)
 
 
-def test_rx_fm_shard_wbfm_snr(tmp_path):
+def test_rx_fm_shard_wbfm_snr(tmp_path, monkeypatch):
     """wbfm (deemph IIR) via -E shard: tone recovered, high SNR vs the
     streaming output after the per-shard warm-up transient."""
     cap = _record(tmp_path, "w.cs16", 1_020_000, 1_530_000,
@@ -92,6 +99,7 @@ def test_rx_fm_shard_wbfm_snr(tmp_path):
                  "-d", f"file={cap},format=CS16,rate=1020k"]
     a_stream, a_shard = tmp_path / "s.raw", tmp_path / "h.raw"
     assert rx_fm.main(base_args + [str(a_stream)]) == 0
+    monkeypatch.setenv("RX_SHARD_BLOCKS", "4")   # force super-chunking
     assert rx_fm.main(base_args + ["-E", "shard", str(a_shard)]) == 0
     s = np.fromfile(a_stream, np.int16).astype(np.float64)
     h = np.fromfile(a_shard, np.int16).astype(np.float64)

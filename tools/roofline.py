@@ -99,32 +99,35 @@ def main():
             rng.integers(-16000, 16000, 128 * 1024 * 1024).astype(np.int16))
         float(jnp.sum(flat[:8].astype(jnp.float32)))      # first-fetch warmup
 
+        # NOTE: the pool is a function ARGUMENT, not a closure — a
+        # closed-over device array gets baked into the remote-compile
+        # payload on this backend (HTTP 413 above ~100 MB)
         if "ceiling" in phases:
             def make_ceiling(n_passes):
                 @jax.jit
-                def run(_):
+                def run(pool):
                     acc = jnp.zeros((), jnp.int32)
                     for r in range(n_passes):
-                        v = jnp.bitwise_xor(flat, jnp.int16(r + 1))
+                        v = jnp.bitwise_xor(pool, jnp.int16(r + 1))
                         acc = acc + jnp.sum(v.astype(jnp.int32))
                     return acc
                 return run
             report("ceiling",
-                   k_differenced_rate(make_ceiling, 0.0, flat.nbytes, 1, 5))
+                   k_differenced_rate(make_ceiling, flat, flat.nbytes, 1, 5))
 
         if "convert" in phases:
             def make_convert(n_passes):
                 @jax.jit
-                def run(_):
+                def run(pool):
                     acc = jnp.zeros((), jnp.float32)
                     for r in range(n_passes):
-                        v = jnp.bitwise_xor(flat, jnp.int16(r + 1))
+                        v = jnp.bitwise_xor(pool, jnp.int16(r + 1))
                         acc = acc + jnp.sum(v.astype(jnp.float32)
                                             * jnp.float32(128.0 / 32767.0))
                     return acc
                 return run
             report("convert",
-                   k_differenced_rate(make_convert, 0.0, flat.nbytes, 1, 5))
+                   k_differenced_rate(make_convert, flat, flat.nbytes, 1, 5))
 
     # ---- frontend: rescale + rotate + boxcar decimate ------------------
     if "frontend" in phases:
