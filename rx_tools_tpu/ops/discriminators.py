@@ -101,10 +101,21 @@ def polar_disc_lut(cr, cj):
         returns ``1<<14`` (cj>0) or 0 (cj<0) — rtl_fm.c:557-561;
       - saturation to +/-(1<<13) when |x| >= the table size;
       - the cr==0 / cj==0 special-case ladder (rtl_fm.c:535-546).
+
+    Pass INTEGER ``cr``/``cj`` for bit-exactness over the reference's full
+    domain: float32 products are only integer-exact below 2**24, so
+    :func:`fm_discriminate` computes the complex products for this mode in
+    int32 from the rounded I/Q stream (advisor finding, round 2).  Float
+    inputs are still accepted (rounded) for callers in the small-signal
+    domain.
     """
     lut = jnp.asarray(_atan_lut_host())
-    cri = jnp.round(cr).astype(jnp.int32)
-    cji = jnp.round(cj).astype(jnp.int32)
+    if jnp.issubdtype(jnp.asarray(cr).dtype, jnp.integer):
+        cri = jnp.asarray(cr, jnp.int32)
+        cji = jnp.asarray(cj, jnp.int32)
+    else:
+        cri = jnp.round(cr).astype(jnp.int32)
+        cji = jnp.round(cj).astype(jnp.int32)
     num = cji << _ATAN_LUT_COEF
     den = jnp.where(cri == 0, 1, cri)               # guarded; masked below
     # C '/' truncates toward zero
@@ -155,9 +166,14 @@ def fm_discriminate_batch(prev, x, mode: int):
     if mode == DISC_STD:
         d = polar_discriminant(cr, cj)
     elif mode in (DISC_FAST, DISC_LUT, DISC_ALE):
-        d = (polar_disc_fast(cr, cj) if mode == DISC_FAST
-             else polar_disc_lut(cr, cj) if mode == DISC_LUT
-             else esbensen_disc(ar, aj, br, bj))
+        if mode == DISC_LUT:
+            # int32 products — full-domain exactness (see fm_discriminate)
+            ai, ji = jnp.round(ar).astype(jnp.int32), jnp.round(aj).astype(jnp.int32)
+            bi, qi = jnp.round(br).astype(jnp.int32), jnp.round(bj).astype(jnp.int32)
+            d = polar_disc_lut(ai * bi + ji * qi, ji * bi - ai * qi)
+        else:
+            d = (polar_disc_fast(cr, cj) if mode == DISC_FAST
+                 else esbensen_disc(ar, aj, br, bj))
         d = jnp.concatenate(
             [polar_discriminant(cr[:, :1], cj[:, :1]), d[:, 1:]], axis=1)
     else:
@@ -190,7 +206,13 @@ def fm_discriminate(prev, x, mode: int, seam_stride: int | None = None):
         if mode == DISC_FAST:
             d = polar_disc_fast(cr, cj)
         elif mode == DISC_LUT:
-            d = polar_disc_lut(cr, cj)
+            # products in int32 from the rounded stream: float32 products
+            # are integer-exact only below 2**24, which would flip the
+            # LUT's truncating division at the reference's full lp range
+            # (advisor finding, round 2)
+            ai, ji = jnp.round(ar).astype(jnp.int32), jnp.round(aj).astype(jnp.int32)
+            bi, qi = jnp.round(br).astype(jnp.int32), jnp.round(bj).astype(jnp.int32)
+            d = polar_disc_lut(ai * bi + ji * qi, ji * bi - ai * qi)
         else:
             d = esbensen_disc(ar, aj, br, bj)
         if seam_stride is None:

@@ -141,7 +141,7 @@ def capture_frontend(block_i16, downsample: int, rotate: bool = True):
     n = block_i16.shape[0] // 2
     rows = n // int(downsample)
     if (jax.default_backend() == "tpu" and rows % 8 == 0
-            and os.environ.get("RX_PALLAS")
+            and os.environ.get("RX_PALLAS") == "1"
             and not os.environ.get("RX_NO_PALLAS")):
         return capture_frontend_pallas(block_i16, downsample, rotate)
     return capture_frontend_jnp(block_i16, downsample, rotate)

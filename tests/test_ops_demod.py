@@ -47,6 +47,34 @@ def test_fm_discriminate_lut_bit_exact_vs_oracle():
     assert abs(got[0] - ref[0]) < 1.0       # std seam: float vs int-trunc
 
 
+def test_fm_discriminate_lut_bit_exact_at_full_lp_range():
+    """LUT exactness holds at the reference's FULL lp range, not just the
+    8-bit domain (advisor finding, round 2): a strong FM signal at
+    amplitude ~8000 makes ``cr ~ |s|^2 ~ 2**27`` — beyond float32's 2**24
+    integer-exact range, where f32 products can flip the truncating
+    division by one LUT step — while the small per-sample phase steps keep
+    ``|cj| <= 2**21``, the domain the reference itself assumes ("absolute
+    maximum... 2097152", rtl_fm.c:548).  The dispatcher must therefore
+    compute the products in int32."""
+    rng = np.random.default_rng(12)
+    n = 4096
+    dphi = rng.uniform(-0.015, 0.015, n).cumsum()
+    s = np.round(8000 * np.exp(1j * dphi)).astype(np.int64)
+    blk = np.empty(2 * n, np.int64)
+    blk[0::2], blk[1::2] = s.real.astype(np.int64), s.imag.astype(np.int64)
+    # sanity: this scene is in the regime the test is about
+    cr = blk[0::2][1:] * blk[0::2][:-1] + blk[1::2][1:] * blk[1::2][:-1]
+    cj = blk[1::2][1:] * blk[0::2][:-1] - blk[0::2][1:] * blk[1::2][:-1]
+    assert cr.max() > (1 << 24) and np.abs(cj).max() < (1 << 21)
+    ref, _ = c_ref.fm_demod(blk, int(s[0].real), int(s[0].imag),
+                            custom_atan=2)
+    prev = jnp.asarray([float(s[0].real), float(s[0].imag)], jnp.float32)
+    x = jnp.asarray(blk, jnp.float32).reshape(-1, 2)
+    _, d = ops.fm_discriminate(prev, x, ops.DISC_LUT)
+    got = np.asarray(d)
+    np.testing.assert_array_equal(got[1:], np.array(ref[1:], np.float64))
+
+
 def test_polar_disc_lut_quirks():
     """The LUT path's corner cases, each matched to the C control flow."""
     def both(ar, aj, br, bj):

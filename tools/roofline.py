@@ -131,7 +131,7 @@ def main():
 
     # ---- frontend: rescale + rotate + boxcar decimate ------------------
     if "frontend" in phases:
-        N_CHUNKS = 8
+        N_CHUNKS = 4
         data = rng.integers(-16000, 16000,
                             (N_CHUNKS, BLOCKS * 2 * n)).astype(np.int16)
         data_dev = jax.device_put(data)
@@ -139,16 +139,16 @@ def main():
 
         def make_frontend(n_passes):
             @jax.jit
-            def run(_):
+            def run(pool):
                 acc = jnp.zeros((), jnp.float32)
                 for r in range(n_passes):
                     for c in range(N_CHUNKS):
-                        v = jnp.bitwise_xor(data_dev[c], jnp.int16(r + 1))
+                        v = jnp.bitwise_xor(pool[c], jnp.int16(r + 1))
                         acc = acc + jnp.sum(ops.capture_frontend_jnp(v, D))
                 return acc
             return run
         report("frontend",
-               k_differenced_rate(make_frontend, 0.0, data.nbytes, 1, 3))
+               k_differenced_rate(make_frontend, data_dev, data.nbytes, 1, 3))
 
     # ---- full chain (bench.py geometry: 4 chunks x 12 blocks) ----------
     if "chain" in phases:
@@ -165,19 +165,21 @@ def main():
 
         def make_chain(n_passes):
             @jax.jit
-            def run(st):
+            def run(args):
+                st, pool = args
                 acc = jnp.zeros(())
                 for r in range(n_passes):
                     for c in range(CHAIN_CHUNKS):
                         st, audio, n_valid, levels = fmchunk.fm_chunk_step(
-                            cfg, st, data_dev[c] + jnp.int16(r))
+                            cfg, st, pool[c] + jnp.int16(r))
                         acc = (acc + jnp.sum(audio)
                                + n_valid.sum().astype(jnp.float32)
                                + jnp.sum(levels))
                 return acc + st.deemph_avg + st.prev_iq[0]
             return run
         report("chain",
-               k_differenced_rate(make_chain, state0, data.nbytes, 1, 4))
+               k_differenced_rate(make_chain, (state0, data_dev),
+                                  data.nbytes, 1, 4))
         results["chain_samps"] = results["chain_gbs"] * 1e9 / 4.0
 
     if results.get("ceiling_gbs") and results.get("chain_gbs"):

@@ -46,6 +46,10 @@ def main():
     # wbfm-at-2.4M geometry (bench.py): D=14, 262192-sample blocks
     d = 14
     n = 262192
+    # the opt-in dispatch falls back to jnp unless rows % 8 == 0 — assert
+    # it here so check 3's chain A/B cannot silently compare jnp vs jnp
+    # (advisor finding, round 2)
+    assert (n // d) % 8 == 0, "geometry would bypass the Pallas dispatch"
     rng = np.random.default_rng(0)
     block = rng.integers(-32768, 32767, 2 * n).astype(np.int16)
     bdev = jax.device_put(block)
