@@ -93,41 +93,45 @@ def main():
         print(f"# {name} rounds: {['%.1f' % (x/1e9) for x in rs]} GB/s",
               file=sys.stderr)
 
-    # ---- pure-bandwidth phases: ONE flat 256 MB pool, one op per pass --
+    # ---- pure-bandwidth phases: ONE flat 256 MB pool -------------------
+    # The per-pass body runs under lax.fori_loop keyed on the loop index
+    # (whole-pool reads, NO dynamic slicing — the scan cliff does not
+    # apply), so large pass counts compile in seconds and the K-marginal
+    # can be sized to ~20 ms of device work, far above the tunnel's
+    # ms-scale RPC jitter.  The pool is a function ARGUMENT, not a
+    # closure — a closed-over device array gets baked into the
+    # remote-compile payload on this backend (HTTP 413 above ~100 MB).
     if phases & {"ceiling", "convert"}:
         flat = jax.device_put(
             rng.integers(-16000, 16000, 128 * 1024 * 1024).astype(np.int16))
         float(jnp.sum(flat[:8].astype(jnp.float32)))      # first-fetch warmup
 
-        # NOTE: the pool is a function ARGUMENT, not a closure — a
-        # closed-over device array gets baked into the remote-compile
-        # payload on this backend (HTTP 413 above ~100 MB)
         if "ceiling" in phases:
             def make_ceiling(n_passes):
                 @jax.jit
                 def run(pool):
-                    acc = jnp.zeros((), jnp.int32)
-                    for r in range(n_passes):
-                        v = jnp.bitwise_xor(pool, jnp.int16(r + 1))
-                        acc = acc + jnp.sum(v.astype(jnp.int32))
-                    return acc
+                    def body(r, acc):
+                        v = jnp.bitwise_xor(pool, (r + 1).astype(jnp.int16))
+                        return acc + jnp.sum(v.astype(jnp.int32))
+                    return jax.lax.fori_loop(0, n_passes, body,
+                                             jnp.zeros((), jnp.int32))
                 return run
             report("ceiling",
-                   k_differenced_rate(make_ceiling, flat, flat.nbytes, 1, 5))
+                   k_differenced_rate(make_ceiling, flat, flat.nbytes, 1, 41))
 
         if "convert" in phases:
             def make_convert(n_passes):
                 @jax.jit
                 def run(pool):
-                    acc = jnp.zeros((), jnp.float32)
-                    for r in range(n_passes):
-                        v = jnp.bitwise_xor(pool, jnp.int16(r + 1))
-                        acc = acc + jnp.sum(v.astype(jnp.float32)
-                                            * jnp.float32(128.0 / 32767.0))
-                    return acc
+                    def body(r, acc):
+                        v = jnp.bitwise_xor(pool, (r + 1).astype(jnp.int16))
+                        return acc + jnp.sum(v.astype(jnp.float32)
+                                             * jnp.float32(128.0 / 32767.0))
+                    return jax.lax.fori_loop(0, n_passes, body,
+                                             jnp.zeros((), jnp.float32))
                 return run
             report("convert",
-                   k_differenced_rate(make_convert, flat, flat.nbytes, 1, 5))
+                   k_differenced_rate(make_convert, flat, flat.nbytes, 1, 41))
 
     # ---- frontend: rescale + rotate + boxcar decimate ------------------
     if "frontend" in phases:
@@ -140,15 +144,16 @@ def main():
         def make_frontend(n_passes):
             @jax.jit
             def run(pool):
-                acc = jnp.zeros((), jnp.float32)
-                for r in range(n_passes):
-                    for c in range(N_CHUNKS):
-                        v = jnp.bitwise_xor(pool[c], jnp.int16(r + 1))
+                def body(r, acc):
+                    for c in range(N_CHUNKS):      # static chunk indices
+                        v = jnp.bitwise_xor(pool[c], (r + 1).astype(jnp.int16))
                         acc = acc + jnp.sum(ops.capture_frontend_jnp(v, D))
-                return acc
+                    return acc
+                return jax.lax.fori_loop(0, n_passes, body,
+                                         jnp.zeros((), jnp.float32))
             return run
         report("frontend",
-               k_differenced_rate(make_frontend, data_dev, data.nbytes, 1, 3))
+               k_differenced_rate(make_frontend, data_dev, data.nbytes, 1, 21))
 
     # ---- full chain (bench.py geometry: 4 chunks x 12 blocks) ----------
     if "chain" in phases:
