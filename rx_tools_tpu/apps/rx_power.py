@@ -61,6 +61,9 @@ Use:\trx_power -f freq_range [-options] [filename]
 \t[--checkpoint path  snapshot integration accumulators every sweep, so a
 \t killed run resumes mid-interval instead of losing it]
 \t[--resume path  restore accumulators from a snapshot]
+\t[--int-fft  bit-exact integer fidelity tier: the reference's fix_fft
+\t (Q14 rounding, per-stage >>1, int16 wraps) runs on device and the CSV
+\t matches the C binary bit-for-bit (boxcar path, single process)]
 
 CSV FFT output columns:
 \tdate, time, Hz low, Hz high, Hz step, samples, dbm, dbm, ...
@@ -80,7 +83,7 @@ def main(argv=None) -> int:
     multihost.init()
     try:
         opts, args = getopt.getopt(argv, "a:C:f:i:s:t:d:g:p:e:w:c:F:1PD:OS:R:h",
-                                   ["checkpoint=", "resume="])
+                                   ["checkpoint=", "resume=", "int-fft"])
     except getopt.GetoptError as e:
         log("%s", str(e))
         usage()
@@ -105,6 +108,7 @@ def main(argv=None) -> int:
     dev_parallel = 0            # 0 = auto (all local devices)
     checkpoint_path = None
     resume_path = None
+    int_fft = False
 
     for opt, arg in opts:
         if opt == "-f":
@@ -150,6 +154,8 @@ def main(argv=None) -> int:
             checkpoint_path = arg
         elif opt == "--resume":
             resume_path = arg
+        elif opt == "--int-fft":
+            int_fft = True
         elif opt == "-h":
             usage()
 
@@ -221,6 +227,34 @@ def main(argv=None) -> int:
         downsample_passes=t0.downsample_passes,
         boxcar=boxcar, comp_fir_size=comp_fir_size,
         window=window_name, peak_hold=peak_hold, buf_len=t0.buf_len)
+
+    # --- opt-in bit-exact integer plane (--int-fft) -------------------------
+    # mirrors what the -A lut tier does for rx_fm: the C scanner's integer
+    # quirks run on device (ops/intfft.py), int64 accumulation on host, CSV
+    # bit-identical to the reference binary (rtl_power.c:714-770)
+    iavg = isamples = None
+    if int_fft:
+        if not boxcar:
+            log("--int-fft supports the boxcar decimation path only "
+                "(drop -F).")
+            return 1
+        if n_proc > 1:
+            log("--int-fft is single-process (exact int64 accumulators "
+                "don't ride the f32 collective path).")
+            return 1
+        if checkpoint_path or resume_path:
+            log("--int-fft does not support checkpointing yet.")
+            return 1
+        dev_parallel = 1      # device work IS the batched bit-exact scanner
+        if cfg.bin_e > 0:
+            try:    # shape/overflow validation (and compile warm-up)
+                powerscan.int_sweep_powers(
+                    cfg, np.zeros((1, cfg.buf_len), np.int16))
+            except ValueError as e:
+                log("%s", str(e))
+                return 1
+        iavg = np.zeros((len(tunes), cfg.bin_len), np.int64)
+        isamples = np.zeros(len(tunes), np.int64)
 
     # --- hop-axis sharding over the local mesh (SURVEY.md §2.6) ------------
     # every device integrates its own hops' FFTs; the only cross-device
@@ -304,7 +338,25 @@ def main(argv=None) -> int:
                 if 2 * n < t.buf_len:
                     blocks[i, 2 * n:] = 0
             if not aborted:
-                if mesh is not None:
+                if int_fft:
+                    # bit-exact plane: device fix_fft per segment, exact
+                    # int64 accumulation host-side
+                    if cfg.bin_e == 0:
+                        from rx_tools_tpu.ops.intfft import rms_power_int
+                        for i in range(len(my_tunes)):
+                            p = rms_power_int(blocks[i])
+                            iavg[i, 0] = (max(iavg[i, 0], p) if peak_hold
+                                          else iavg[i, 0] + p)
+                            isamples[i] += 1
+                    else:
+                        p = np.asarray(powerscan.int_sweep_powers(
+                            cfg, blocks[: len(my_tunes)]), np.int64)
+                        if peak_hold:
+                            iavg = np.maximum(iavg, p.max(axis=1))
+                        else:
+                            iavg += p.sum(axis=1)
+                        isamples += p.shape[1] * cfg.downsample
+                elif mesh is not None:
                     from rx_tools_tpu.parallel import hop_sharded_sweep
                     acc = hop_sharded_sweep(cfg, acc, blocks, mesh)
                 else:
@@ -323,9 +375,15 @@ def main(argv=None) -> int:
                     np.array([int(want_flush), int(want_stop)], np.int32))
                 want_flush, want_stop = bool(f[0]), bool(f[1])
             if want_flush:
-                acc = _flush_csv(out, tunes, cfg, acc, h_pad,
-                                 hops_per_proc=hops_per_proc)
-                save_ckpt(acc)     # persist the post-flush reset too
+                if int_fft:
+                    _flush_csv(out, tunes, cfg,
+                               powerscan.SweepAccum(iavg, isamples), h_pad)
+                    iavg[:] = 0
+                    isamples[:] = 0
+                else:
+                    acc = _flush_csv(out, tunes, cfg, acc, h_pad,
+                                     hops_per_proc=hops_per_proc)
+                    save_ckpt(acc)     # persist the post-flush reset too
                 while next_tick <= now:
                     next_tick += interval
             if want_stop:

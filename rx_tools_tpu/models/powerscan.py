@@ -110,6 +110,31 @@ def sweep_step(cfg: PowerConfig, acc: SweepAccum, blocks) -> SweepAccum:
     return SweepAccum(avg, samples)
 
 
+def int_sweep_powers(cfg: PowerConfig, blocks):
+    """``--int-fft`` batched hop processing: ``blocks`` (H, buf_len) int16
+    -> per-segment powers (H, segs, bin_len) int32, every stage bit-exact
+    to the C scanner (ops/intfft.py; rtl_power.c:714-770).  The caller
+    accumulates into int64 host-side (exact; see intfft docstring).
+
+    Only the boxcar decimation path is supported (the reference's default;
+    ``-F 9`` keeps the float plane)."""
+    from functools import partial as _partial
+    from rx_tools_tpu.ops import intfft
+    if not cfg.boxcar and cfg.downsample_passes:
+        raise ValueError("--int-fft supports the boxcar decimation path "
+                         "only (drop -F)")
+    if cfg.downsample > 1 and cfg.buf_len % (2 * cfg.downsample):
+        raise ValueError("--int-fft: buf_len not divisible by 2*downsample "
+                         "(partial-group boxcar tail unsupported)")
+    eff = cfg.buf_len // cfg.downsample
+    if eff * 32768 >= 2**31:
+        raise ValueError("--int-fft: hop too long for exact int32 sums")
+    win = np.asarray(ops.window_coefs_int(cfg.window, cfg.bin_len), np.int32)
+    fn = _partial(intfft.int_hop_segments, bin_e=cfg.bin_e,
+                  ds=cfg.downsample)
+    return jax.vmap(fn, in_axes=(0, None))(blocks, jnp.asarray(win))
+
+
 def csv_row_values(avg: np.ndarray, samples: int, cfg: PowerConfig,
                    freq: float, rate: float, crop: float):
     """Apply csv_dbm's output math (rtl_power.c:774-817) to one hop's

@@ -34,7 +34,7 @@ from rx_tools_tpu.ops.pallas_frontend import (
 from rx_tools_tpu.ops.resample import (
     resample_divisible, resample_rational, resample_rational_batch,
     ResampleState)
-from rx_tools_tpu.ops.windows import window, WINDOWS
+from rx_tools_tpu.ops.windows import window, window_coefs_int, WINDOWS
 from rx_tools_tpu.ops.spectrum import (
     segmented_power_spectrum, remove_dc, fftshift_quirks, power_to_dbm,
 )

@@ -42,12 +42,14 @@ def main():
     from rx_tools_tpu import ops
 
     D = 14
-    n = 262192 * 12                      # one 12-block chunk, flat
-    N_CHUNKS = 4
+    n = 262192                  # per-block, bench.py geometry — compile
+    BLOCKS = 12                 # time explodes on multi-M-sample arrays
+    N_CHUNKS = 2
     rng = np.random.default_rng(0)
-    data = rng.integers(-16000, 16000, (N_CHUNKS, 2 * n)).astype(np.int16)
+    data = rng.integers(-16000, 16000,
+                        (N_CHUNKS, BLOCKS, 2 * n)).astype(np.int16)
     data_dev = jax.device_put(data)
-    float(jnp.sum(data_dev[0][:8].astype(jnp.float32)))
+    float(jnp.sum(data_dev[0][0][:8].astype(jnp.float32)))
     print(f"# backend={jax.default_backend()}", file=sys.stderr)
 
     def planar_parts(v16):
@@ -97,16 +99,18 @@ def main():
             @jax.jit
             def run(pool):
                 def body(r, acc):
-                    for c in range(N_CHUNKS):
-                        v = jnp.bitwise_xor(pool[c], (r + 1).astype(jnp.int16))
-                        for part in fe(v):
-                            acc = acc + jnp.sum(part)
+                    for c in range(N_CHUNKS):      # static indices: the
+                        for b in range(BLOCKS):    # dynamic-slice cliff
+                            v = jnp.bitwise_xor(pool[c, b],
+                                                (r + 1).astype(jnp.int16))
+                            for part in fe(v):
+                                acc = acc + jnp.sum(part)
                     return acc
                 return jax.lax.fori_loop(0, n_passes, body,
                                          jnp.zeros((), jnp.float32))
             return run
 
-        rs = k_differenced_rate(make, data_dev, data.nbytes, 1, 21)
+        rs = k_differenced_rate(make, data_dev, data.nbytes, 1, 17, reps=16)
         results[name] = statistics.median(rs) / 1e9
         print(f"# {name} rounds: {['%.1f' % (x/1e9) for x in rs]} GB/s",
               file=sys.stderr)
