@@ -43,8 +43,8 @@ def main():
 
     D = 14
     n = 262192                  # per-block, bench.py geometry — compile
-    BLOCKS = 12                 # time explodes on multi-M-sample arrays
-    N_CHUNKS = 2
+    BLOCKS = 4                  # time explodes on multi-M-sample arrays
+    N_CHUNKS = 1                # and with instance count: keep tiny bodies
     rng = np.random.default_rng(0)
     data = rng.integers(-16000, 16000,
                         (N_CHUNKS, BLOCKS, 2 * n)).astype(np.int16)
@@ -110,7 +110,7 @@ def main():
                                          jnp.zeros((), jnp.float32))
             return run
 
-        rs = k_differenced_rate(make, data_dev, data.nbytes, 1, 17, reps=16)
+        rs = k_differenced_rate(make, data_dev, data.nbytes, 1, 33, reps=20)
         results[name] = statistics.median(rs) / 1e9
         print(f"# {name} rounds: {['%.1f' % (x/1e9) for x in rs]} GB/s",
               file=sys.stderr)
