@@ -102,40 +102,80 @@ def capture_frontend_pallas(block_i16, downsample: int, rotate: bool = True,
     )(x)
 
 
+@functools.lru_cache(maxsize=32)
+def _fs4_decim_masks(d: int, rotate: bool):
+    """(2D,) Re/Im masks in {+1, 0, -1} fusing rescale+rotate+decimate.
+
+    Derivation (docs/PERF.md round-3 campaign): the rotated-then-decimated
+    output is ``z[k] = i^(Dk) * sum_j x[Dk+j] * i^j``; over the FLAT
+    interleaved stream each element lands in exactly one of Re(z)/Im(z)
+    with sign +/-1, so the whole capture-rate computation becomes two
+    masked trailing-axis reduces — the construct class that runs at full
+    VPU width on TPU, where every pair-indexing formulation (column
+    slices, lax.rev, bitcast deinterleave, 2-wide trailing dims) lowers
+    to a scalar loop 60x slower (measured, tools/chipsuite3-5.py).
+    """
+    a = np.zeros(2 * d, np.float32)     # -> Re(z)
+    b = np.zeros(2 * d, np.float32)     # -> Im(z)
+    for j in range(d):
+        m = (j & 3) if rotate else 0
+        if m == 0:
+            a[2 * j] = 1.0; b[2 * j + 1] = 1.0
+        elif m == 1:                    # x * i: (I, Q) -> (-Q, I)
+            b[2 * j] = 1.0; a[2 * j + 1] = -1.0
+        elif m == 2:
+            a[2 * j] = -1.0; b[2 * j + 1] = -1.0
+        else:
+            b[2 * j] = -1.0; a[2 * j + 1] = 1.0
+    return a, b
+
+
 def capture_frontend_jnp(block_i16, downsample: int, rotate: bool = True):
-    """Reference jnp composition (the pre-fusion path), same contract."""
-    from rx_tools_tpu.ops.rotate import rotate_fs4
-    x = block_i16.astype(jnp.float32).reshape(-1, 2) * _SCALE
-    if rotate:
-        x = rotate_fs4(x)
-    n = x.shape[0] // downsample
-    return x.reshape(n, downsample, 2).sum(axis=1)
+    """``(2N,) int16 -> (N/D, 2) float32``: rescale + fs/4 + boxcar decimate.
+
+    Masked-sum formulation (see :func:`_fs4_decim_masks`): ~39 GB/s on the
+    chip vs 0.6 GB/s for the previous rotate-then-reshape composition —
+    the round-3 campaign's 60x fix.  f32 sums are reassociated vs the
+    sequential reference order (|err| ~1e-4 at 8-bit scale, inside every
+    golden tolerance).
+    """
+    d = int(downsample)
+    y = block_i16.astype(jnp.float32) * _SCALE            # flat (2N,)
+    g = y.reshape(-1, 2 * d)                              # (K, 2D)
+    a, b = _fs4_decim_masks(d, bool(rotate))
+    zi = (g * jnp.asarray(a)[None, :]).sum(axis=1)
+    zq = (g * jnp.asarray(b)[None, :]).sum(axis=1)
+    if rotate and d % 4:
+        # the group phase i^(Dk): elementwise K-scale selects
+        k = jnp.arange(zi.shape[0], dtype=jnp.int32)
+        p = (k * (d & 3)) & 3
+        zi, zq = (jnp.where(p == 0, zi, jnp.where(p == 1, -zq,
+                            jnp.where(p == 2, -zi, zq))),
+                  jnp.where(p == 0, zq, jnp.where(p == 1, zi,
+                            jnp.where(p == 2, -zq, -zi))))
+    return jnp.stack([zi, zq], axis=-1)
 
 
 def capture_frontend(block_i16, downsample: int, rotate: bool = True):
-    """Production frontend dispatch: XLA-fused jnp by default.
+    """Production frontend dispatch: the masked-sum jnp path by default.
 
     This IS the production frontend: ``fm_chain_step`` / ``fm_chunk_step``
     call it for every boxcar-decimation chain (the default rx_fm path).
 
-    Measured finding (round 2, real v5e chip, WBFM geometry D=14,
-    262k-sample blocks; see docs/PERF.md "Pallas frontend"): dispatching
-    the hand-written Pallas kernel here cost the FULL chain ~15x
-    (flat engine 0.90 G samp/s vs 13.7 G with ``RX_NO_PALLAS=1``).  Two
-    reasons, both structural:
+    Honest round-3 measurements (pool-as-argument methodology — the
+    round-2 numbers in this docstring's history were poisoned by
+    compile-time constant folding, docs/PERF.md "Retraction #2"), same
+    4 MB geometry, real chip:
 
-    1. a ``pallas_call`` is a fusion barrier — the (N/D, 2) f32
-       intermediate round-trips through HBM, where XLA otherwise fuses
-       rescale+rotate+decimate INTO the downstream fifth-order/discriminator
-       loops and never materialises it;
-    2. the natural ``(rows, D)`` layout puts D=14 on the 128-wide lane
-       axis (11% VPU utilisation), and for rows with no large power-of-2
-       divisor (262192/14 = 18728 = 8 x 2341, 2341 prime) the grid
-       degenerates to thousands of 448-byte tiles.
+    =====================  ==========
+    masked-sum jnp (this)   ~39 GB/s
+    Pallas kernel           1.17 GB/s (its pre-kernel int32 bitcast
+                            lowers scalar; the kernel body is fine)
+    old rotate+reshape jnp  0.63 GB/s
+    =====================  ==========
 
-    XLA's own fusion already saturates this HBM-bound op, so the kernel is
-    opt-in (``RX_PALLAS=1``) for A/B measurement rather than the default.
-    ``RX_NO_PALLAS=1`` still forces jnp (kept so existing A/B scripts work).
+    The kernel stays opt-in (``RX_PALLAS=1``) as an A/B reference;
+    ``RX_NO_PALLAS=1`` still forces jnp (kept so existing scripts work).
     """
     import os
     n = block_i16.shape[0] // 2

@@ -17,15 +17,36 @@ neighbouring ops.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def _rotate(x):
-    v = x.reshape(-1, 4, 2)
-    i, q = v[..., 0], v[..., 1]
-    out_i = jnp.stack([i[:, 0], -q[:, 1], -i[:, 2], q[:, 3]], axis=1)
-    out_q = jnp.stack([q[:, 0], i[:, 1], -q[:, 2], -i[:, 3]], axis=1)
-    return jnp.stack([out_i, out_q], axis=-1).reshape(x.shape)
+    """Rotate (N, 2) by i**n in full-VPU-width constructs.
+
+    HOW this is written matters 1000x on TPU (measured, round 3 —
+    docs/PERF.md micro-bisection): the obvious column-slice + stack over
+    an (N/4, 4, 2) view lowers to a SCALAR loop at 0.6 GB/s, because
+    minor-dim slicing/stacking of tiny trailing axes de-vectorizes the
+    fused loop.  Flat iota-keyed where-selects and a single ``lax.rev``
+    pair swap run at ~1 TB/s and produce bit-identical output:
+
+      m = n mod 4:  0 -> ( I,  Q)   1 -> (-Q,  I)
+                    2 -> (-I, -Q)   3 -> ( Q, -I)
+
+    even m: +/-x elementwise; odd m: +/-(pair-swapped x), where the swap
+    is one ``lax.rev`` over the 2-wide pair axis.
+    """
+    shape = x.shape
+    x2 = x.reshape(-1, 2)
+    sw = jax.lax.rev(x2, dimensions=(1,))
+    xf, sf = x2.reshape(-1), sw.reshape(-1)
+    p = jnp.arange(xf.shape[0], dtype=jnp.int32)
+    m = (p >> 1) & 3                    # sample index mod 4
+    c = p & 1                           # component: 0 = I, 1 = Q
+    even = jnp.where(m == 0, xf, -xf)
+    odd = jnp.where((m == 1) == (c == 1), sf, -sf)
+    return jnp.where((m & 1) == 0, even, odd).reshape(shape)
 
 
 def rotate_fs4_int16(x):
