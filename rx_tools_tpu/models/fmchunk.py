@@ -82,10 +82,13 @@ def fm_chunk_step(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
     dc_iq = state.dc_iq
     if not cfg.dc_block_raw:
         # fused capture head (rescale + fs/4 + boxcar decimate) over the
-        # whole chunk at once — Pallas kernel on TPU, jnp elsewhere; the
-        # fs/4 phase is continuous across blocks because n % 4 == 0
-        z = ops.capture_frontend(blocks.reshape(-1), d,
-                                 rotate=not cfg.offset_tuning)
+        # whole chunk at once as two masked reduces, PLANAR output; the
+        # fs/4 phase is continuous across blocks because n % 4 == 0.
+        # Planar (zi, zq) all the way through the demod avoids 2-wide-axis
+        # slicing, which lowers to a scalar loop on TPU (docs/PERF.md
+        # round-3 campaign, 60x).
+        zi, zq = ops.capture_frontend_planar(blocks.reshape(-1), d,
+                                             rotate=not cfg.offset_tuning)
     else:
         x = (blocks.astype(jnp.float32).reshape(m, n, 2)
              * jnp.float32(128.0 / 32767.0))
@@ -101,21 +104,22 @@ def fm_chunk_step(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
 
         # --- capture decimation (aligned boxcar) -------------------------
         z = flat.reshape(m * n // d, d, 2).sum(axis=1)     # (K, 2)
+        zi, zq = z[:, 0], z[:, 1]
     k_per_block = n // d
 
     # --- squelch levels per block ---------------------------------------
-    zb = z.reshape(m, k_per_block, 2)
-    v = zb.reshape(m, -1)
-    t = jnp.sum(v, axis=1)
-    p = jnp.sum(v * v, axis=1)
-    nn = v.shape[1]
+    zib = zi.reshape(m, k_per_block)
+    zqb = zq.reshape(m, k_per_block)
+    t = jnp.sum(zib, axis=1) + jnp.sum(zqb, axis=1)
+    p = jnp.sum(zib * zib, axis=1) + jnp.sum(zqb * zqb, axis=1)
+    nn = 2 * k_per_block
     dc = t / nn
     err = t * 2 * dc - dc * dc * nn
     levels = jnp.sqrt(jnp.maximum(p - err, 0.0) / nn)  # (M,)
     if cfg.squelch_level > 0:
         squelched = levels < cfg.squelch_level
-        zb = jnp.where(squelched[:, None, None], 0.0, zb)
-        z = zb.reshape(-1, 2)
+        zi = jnp.where(squelched[:, None], 0.0, zib).reshape(-1)
+        zq = jnp.where(squelched[:, None], 0.0, zqb).reshape(-1)
         # squelch_hits: consecutive run length ending at the last block
         run = jnp.cumprod(squelched[::-1].astype(jnp.int32))[::-1]
         tail_hits = jnp.sum(run)
@@ -124,19 +128,19 @@ def fm_chunk_step(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
     else:
         squelch_hits = state.squelch_hits
 
-    # --- demodulate ------------------------------------------------------
+    # --- demodulate (planar) ---------------------------------------------
     prev_iq = state.prev_iq
     if cfg.mode == "fm":
-        prev_iq, audio = ops.fm_discriminate(prev_iq, z, cfg.custom_atan,
-                                             seam_stride=k_per_block)
+        prev_iq, audio = ops.fm_discriminate_planar(
+            prev_iq, zi, zq, cfg.custom_atan, seam_stride=k_per_block)
     elif cfg.mode == "am":
-        audio = ops.am_demod(z, cfg.output_scale)
+        audio = jnp.sqrt(zi * zi + zq * zq) * jnp.float32(cfg.output_scale)
     elif cfg.mode == "usb":
-        audio = ops.usb_demod(z, cfg.output_scale)
+        audio = (zi + zq) * jnp.float32(cfg.output_scale)
     elif cfg.mode == "lsb":
-        audio = ops.lsb_demod(z, cfg.output_scale)
+        audio = (zi - zq) * jnp.float32(cfg.output_scale)
     else:  # raw
-        audio = z.reshape(-1)
+        audio = jnp.stack([zi, zq], axis=-1).reshape(-1)
         new_state = state._replace(dc_iq=dc_iq, squelch_hits=squelch_hits)
         return new_state, audio, jnp.int32(audio.shape[0]), levels
 

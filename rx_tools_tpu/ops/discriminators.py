@@ -181,6 +181,44 @@ def fm_discriminate_batch(prev, x, mode: int):
     return x[:, -1, :], d
 
 
+def fm_discriminate_planar(prev, zi, zq, mode: int,
+                           seam_stride: int | None = None):
+    """Planar-I/Q FM discriminator: ``zi``/``zq`` (K,) float32.
+
+    Same semantics as :func:`fm_discriminate` on ``stack([zi, zq], -1)``
+    (incl. the per-buffer std-atan seam quirk, ``fm_demod``
+    rtl_fm.c:588-590), but consuming planar streams: the previous sample
+    is a contiguous concat+shift, never a 2-wide-axis slice — the
+    construct distinction worth 60x on TPU (docs/PERF.md round-3
+    campaign).  Returns ``(new_prev (2,), d (K,))``.
+    """
+    ar, aj = zi, zq
+    br = jnp.concatenate([prev[0][None], zi[:-1]])
+    bj = jnp.concatenate([prev[1][None], zq[:-1]])
+    cr = ar * br + aj * bj
+    cj = aj * br - ar * bj
+    if mode == DISC_STD:
+        d = polar_discriminant(cr, cj)
+    elif mode in (DISC_FAST, DISC_LUT, DISC_ALE):
+        if mode == DISC_FAST:
+            d = polar_disc_fast(cr, cj)
+        elif mode == DISC_LUT:
+            # int32 products — full-domain exactness (see fm_discriminate)
+            ai, ji = jnp.round(ar).astype(jnp.int32), jnp.round(aj).astype(jnp.int32)
+            bi, qi = jnp.round(br).astype(jnp.int32), jnp.round(bj).astype(jnp.int32)
+            d = polar_disc_lut(ai * bi + ji * qi, ji * bi - ai * qi)
+        else:
+            d = esbensen_disc(ar, aj, br, bj)
+        if seam_stride is None:
+            d = d.at[0].set(polar_discriminant(cr[0], cj[0]))
+        else:
+            idx = jnp.arange(0, d.shape[0], seam_stride)
+            d = d.at[idx].set(polar_discriminant(cr[idx], cj[idx]))
+    else:
+        raise ValueError(f"bad discriminator mode {mode}")
+    return jnp.stack([zi[-1], zq[-1]]), d
+
+
 def fm_discriminate(prev, x, mode: int, seam_stride: int | None = None):
     """Vectorized FM discriminator over a block (or a whole flat chunk).
 

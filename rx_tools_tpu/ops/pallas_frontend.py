@@ -130,14 +130,15 @@ def _fs4_decim_masks(d: int, rotate: bool):
     return a, b
 
 
-def capture_frontend_jnp(block_i16, downsample: int, rotate: bool = True):
-    """``(2N,) int16 -> (N/D, 2) float32``: rescale + fs/4 + boxcar decimate.
+def capture_frontend_planar(block_i16, downsample: int, rotate: bool = True):
+    """``(2N,) int16 -> ((N/D,), (N/D,)) float32`` planar I/Q.
 
     Masked-sum formulation (see :func:`_fs4_decim_masks`): ~39 GB/s on the
     chip vs 0.6 GB/s for the previous rotate-then-reshape composition —
-    the round-3 campaign's 60x fix.  f32 sums are reassociated vs the
-    sequential reference order (|err| ~1e-4 at 8-bit scale, inside every
-    golden tolerance).
+    the round-3 campaign's 60x fix.  Planar output feeds the planar demod
+    tail without ever slicing a 2-wide axis at rate.  f32 sums are
+    reassociated vs the sequential reference order (|err| ~1e-4 at 8-bit
+    scale, inside every golden tolerance).
     """
     d = int(downsample)
     y = block_i16.astype(jnp.float32) * _SCALE            # flat (2N,)
@@ -153,6 +154,12 @@ def capture_frontend_jnp(block_i16, downsample: int, rotate: bool = True):
                             jnp.where(p == 2, -zi, zq))),
                   jnp.where(p == 0, zq, jnp.where(p == 1, zi,
                             jnp.where(p == 2, -zq, -zi))))
+    return zi, zq
+
+
+def capture_frontend_jnp(block_i16, downsample: int, rotate: bool = True):
+    """``(2N,) int16 -> (N/D, 2) float32`` paired variant (same math)."""
+    zi, zq = capture_frontend_planar(block_i16, downsample, rotate)
     return jnp.stack([zi, zq], axis=-1)
 
 
