@@ -169,10 +169,10 @@ def fm_chain_step_impl(cfg: FmConfig, state: FmState, block):
             and cfg.fir_quality <= 9):
         # the default boxcar chain head — rescale (rtl_fm.c:845-848),
         # fs/4 derotate (rtl_fm.c:309-327), decimate (rtl_fm.c:351-371) —
-        # runs as ONE fused pass: a Pallas VMEM-resident kernel on TPU,
-        # the identical jnp composition elsewhere (ops/pallas_frontend.py)
-        x = ops.capture_frontend(block, cfg.downsample,
-                                 rotate=not cfg.offset_tuning)
+        # runs as two masked full-VPU-width reduces with PLANAR output
+        # (ops/pallas_frontend.py; docs/PERF.md round-3 campaign)
+        zi, zq = ops.capture_frontend_planar(block, cfg.downsample,
+                                             rotate=not cfg.offset_tuning)
     else:
         x = (block.astype(jnp.float32).reshape(-1, 2)
              * jnp.float32(128.0 / 32767.0))
@@ -196,28 +196,31 @@ def fm_chain_step_impl(cfg: FmConfig, state: FmState, block):
             # aligned static boxcar: block_samples guarantees divisibility
             n = x.shape[0] // cfg.downsample
             x = x.reshape(n, cfg.downsample, 2).sum(axis=1)
+        zi, zq = x[:, 0], x[:, 1]
 
     # --- squelch (rtl_fm.c:781-790) ---
-    level = ops.rms_level(x)
+    level = ops.rms_level_planar(zi, zq)
     squelched = jnp.logical_and(cfg.squelch_level > 0, level < cfg.squelch_level)
     squelch_hits = jnp.where(
         cfg.squelch_level > 0,
         jnp.where(squelched, state.squelch_hits + 1, 0),
         state.squelch_hits)
-    x = jnp.where(squelched, jnp.zeros_like(x), x)
+    zi = jnp.where(squelched, jnp.zeros_like(zi), zi)
+    zq = jnp.where(squelched, jnp.zeros_like(zq), zq)
 
-    # --- demodulate ---
+    # --- demodulate (planar) ---
     prev_iq = state.prev_iq
     if cfg.mode == "fm":
-        prev_iq, audio = ops.fm_discriminate(prev_iq, x, cfg.custom_atan)
+        prev_iq, audio = ops.fm_discriminate_planar(prev_iq, zi, zq,
+                                                    cfg.custom_atan)
     elif cfg.mode == "am":
-        audio = ops.am_demod(x, cfg.output_scale)
+        audio = jnp.sqrt(zi * zi + zq * zq) * jnp.float32(cfg.output_scale)
     elif cfg.mode == "usb":
-        audio = ops.usb_demod(x, cfg.output_scale)
+        audio = (zi + zq) * jnp.float32(cfg.output_scale)
     elif cfg.mode == "lsb":
-        audio = ops.lsb_demod(x, cfg.output_scale)
+        audio = (zi - zq) * jnp.float32(cfg.output_scale)
     elif cfg.mode == "raw":
-        audio = x.reshape(-1)
+        audio = jnp.stack([zi, zq], axis=-1).reshape(-1)
         return (state._replace(dc_iq=dc_iq, fifth=fifth, droop=droop,
                                boxcar=boxcar, squelch_hits=squelch_hits,
                                polyfir=polyfir),

@@ -26,7 +26,7 @@ from rx_tools_tpu.ops.discriminators import (
 from rx_tools_tpu.ops.demods import am_demod, usb_demod, lsb_demod
 from rx_tools_tpu.ops.filters import (
     deemph_filter, deemph_alpha,
-    dc_block_audio, dc_block_raw, rms_level, mad_level,
+    dc_block_audio, dc_block_raw, rms_level, rms_level_planar, mad_level,
 )
 from rx_tools_tpu.ops.pallas_frontend import (
     capture_frontend, capture_frontend_pallas, capture_frontend_jnp,

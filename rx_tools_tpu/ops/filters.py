@@ -91,3 +91,14 @@ def rms_level(x):
     dc = t / n
     err = t * 2 * dc - dc * dc * n
     return jnp.sqrt(jnp.maximum(p - err, 0.0) / n)
+
+
+def rms_level_planar(zi, zq):
+    """Same estimator over planar I/Q streams (no interleaved reshape —
+    the planar chain's squelch path; identical value)."""
+    n = 2 * zi.shape[0]
+    t = jnp.sum(zi) + jnp.sum(zq)
+    p = jnp.sum(zi * zi) + jnp.sum(zq * zq)
+    dc = t / n
+    err = t * 2 * dc - dc * dc * n
+    return jnp.sqrt(jnp.maximum(p - err, 0.0) / n)

@@ -61,30 +61,21 @@ def main():
     print(f"pallas_vs_jnp_max_abs_err={err:.3e}", file=sys.stderr)
     assert err < 1e-2, err     # f32 sum-order differences only
 
-    # --- 3: full chain A/B (kernel on vs off) ---------------------------
-    from rx_tools_tpu.models import fmchain
-    cfg = fmchain.FmConfig(mode="fm", rate_in=2_400_000 // d,
-                           rate_out=2_400_000 // d, rate_out2=32_000,
-                           downsample=d, custom_atan=1,
-                           deemph_a=ops.deemph_alpha(2_400_000 // d, 75))
-    st = fmchain.init_state(cfg)
-    # RX_PALLAS is read at trace time, so trace each variant in a fresh
-    # jit wrapper (fm_chain_step's cache would otherwise reuse the first)
-    import functools
+    # --- 3: dispatcher A/B (kernel opt-in vs default) --------------------
+    # (the production chain is planar and no longer routes through the
+    # dispatcher — round 3; this validates the opt-in surface itself)
     os.environ["RX_PALLAS"] = "1"
     try:
-        step_on = jax.jit(functools.partial(fmchain.fm_chain_step_impl, cfg))
-        r_on = step_on(st, bdev)
+        a_on = np.asarray(jax.jit(
+            lambda v: ops.capture_frontend(v, d, True))(bdev))
     finally:
         del os.environ["RX_PALLAS"]
-    audio_on = np.asarray(r_on[1])[: int(r_on[2])]
-    step_off = jax.jit(functools.partial(fmchain.fm_chain_step_impl, cfg))
-    r_off = step_off(st, bdev)
-    audio_off = np.asarray(r_off[1])[: int(r_off[2])]
-    aerr = float(np.max(np.abs(audio_on - audio_off)))
-    print(f"chain_pallas_vs_jnp_audio_max_abs_err={aerr:.3e}",
+    a_off = np.asarray(jax.jit(
+        lambda v: ops.capture_frontend(v, d, True))(bdev))
+    aerr = float(np.max(np.abs(a_on - a_off)))
+    print(f"dispatch_pallas_vs_default_max_abs_err={aerr:.3e}",
           file=sys.stderr)
-    assert aerr < 1.0, aerr    # audio is int16-range (±32k)
+    assert aerr < 1e-2, aerr
 
     # --- 4: marginal per-call device time, both frontends ---------------
     def bench(fn, reps=11, k1=2, k2=8):
