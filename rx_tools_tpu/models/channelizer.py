@@ -117,26 +117,45 @@ def demod_tail(cfg, prev, davg, racc, rphase, zc):
 def demod_tail_batch(cfg, prev, davg, racc, rphase, z):
     """Batched :func:`demod_tail` over the channel axis: ``z`` (C, M, 2).
 
-    Identical semantics (tested), but every stage is one batched op
-    instead of C vmapped copies: the discriminator seam is a concatenate
-    (not C scatters), the deemph scan runs along axis -1, and the
-    resampler computes its (data-independent, channel-identical) emission
-    indices once and gathers along them (ops.resample_rational_batch).
-    Returns ``(prev, davg, racc, rphase, audio (C, cap), n_valid (C,))``.
+    Compatibility wrapper around the planar implementation (one pair of
+    trailing-axis slices at channel rate, then planar throughout —
+    docs/PERF.md round-3 construct rules).
     """
-    c_ch = z.shape[0]
     if cfg.mode == "raw":
+        c_ch = z.shape[0]
         audio = z.reshape(c_ch, -1)
         return (prev, davg, racc, rphase, audio,
                 jnp.full((c_ch,), audio.shape[1], jnp.int32))
+    return demod_tail_batch_planar(cfg, prev, davg, racc, rphase,
+                                   z[..., 0], z[..., 1])
+
+
+def demod_tail_batch_planar(cfg, prev, davg, racc, rphase, zi, zq):
+    """Planar batched demod tail: ``zi``/``zq`` (C, M).
+
+    Identical semantics to vmapping :func:`demod_tail` (tested), but
+    every stage is one batched op AND channel-planar: the discriminator
+    seam is a concatenate (not C scatters), the deemph scan runs along
+    axis -1, the resampler computes its (data-independent,
+    channel-identical) emission indices once and gathers along them
+    (ops.resample_rational_batch), and nothing slices a 2-wide trailing
+    axis at rate.  Returns
+    ``(prev, davg, racc, rphase, audio (C, cap), n_valid (C,))``.
+    """
+    c_ch = zi.shape[0]
     if cfg.mode == "fm":
-        prev, audio = ops.fm_discriminate_batch(prev, z, cfg.custom_atan)
+        prev, audio = ops.fm_discriminate_batch_planar(prev, zi, zq,
+                                                       cfg.custom_atan)
     elif cfg.mode == "am":
-        audio = ops.am_demod(z.reshape(-1, 2), cfg.output_scale).reshape(c_ch, -1)
+        audio = jnp.sqrt(zi * zi + zq * zq) * jnp.float32(cfg.output_scale)
     elif cfg.mode == "usb":
-        audio = ops.usb_demod(z.reshape(-1, 2), cfg.output_scale).reshape(c_ch, -1)
+        audio = (zi + zq) * jnp.float32(cfg.output_scale)
     elif cfg.mode == "lsb":
-        audio = ops.lsb_demod(z.reshape(-1, 2), cfg.output_scale).reshape(c_ch, -1)
+        audio = (zi - zq) * jnp.float32(cfg.output_scale)
+    elif cfg.mode == "raw":
+        audio = jnp.stack([zi, zq], axis=-1).reshape(c_ch, -1)
+        return (prev, davg, racc, rphase, audio,
+                jnp.full((c_ch,), audio.shape[1], jnp.int32))
     else:
         raise ValueError(cfg.mode)
     if cfg.deemph_a:
@@ -172,21 +191,21 @@ def channelize_step(cfg: ChannelizerConfig, state: ChannelizerState, block):
     i, q = x[:, 0][None, :], x[:, 1][None, :]
     mi = i * cs - q * sn
     mq = i * sn + q * cs
-    mixed = jnp.stack([mi, mq], axis=-1)                           # (C, N, 2)
 
     # carried NCO phase advance (mod 2pi, stable for long runs)
     dphi = (2.0 * jnp.float32(math.pi) * (offs / fs)
             * jnp.float32(n)) % jnp.float32(2.0 * math.pi)
     nco_phase = (state.nco_phase + dphi) % jnp.float32(2.0 * math.pi)
 
-    # --- per-channel decimate (boxcar) ---------------------------------
+    # --- per-channel decimate (boxcar), planar -------------------------
     m = n // cfg.downsample
-    z = mixed.reshape(cfg.n_channels, m, cfg.downsample, 2).sum(axis=2)
+    zi = mi.reshape(cfg.n_channels, m, cfg.downsample).sum(axis=2)
+    zq = mq.reshape(cfg.n_channels, m, cfg.downsample).sum(axis=2)
 
-    # --- batched demod tail ----------------------------------------------
-    prev, davg, racc, rphase, audio, n_valid = demod_tail_batch(
+    # --- batched demod tail (planar) -------------------------------------
+    prev, davg, racc, rphase, audio, n_valid = demod_tail_batch_planar(
         cfg, state.prev_iq, state.deemph_avg, state.resamp.acc,
-        state.resamp.phase, z)
+        state.resamp.phase, zi, zq)
 
     new_state = ChannelizerState(
         nco_phase=nco_phase, prev_iq=prev, deemph_avg=davg,

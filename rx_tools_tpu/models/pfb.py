@@ -100,10 +100,11 @@ def _prototype(cfg: PfbConfig) -> np.ndarray:
 
 
 def filterbank(cfg: PfbConfig, tail, block):
-    """The filterbank front half: block -> (new_tail, z (D, M, 2)).
+    """The filterbank front half: block -> (new_tail, zi (D, M), zq (D, M)).
 
-    ``tail``: (T*D, 2) carried input history.  Also usable standalone for
-    spectral monitoring or custom per-channel DSP.
+    ``tail``: (T*D, 2) carried input history.  Channel-planar output (I/Q
+    as separate (D, M) arrays) feeds the planar demod tail.  Also usable
+    standalone for spectral monitoring or custom per-channel DSP.
     """
     d, t = cfg.n_channels, cfg.taps_per_branch
     x = block.astype(jnp.float32).reshape(-1, 2) * jnp.float32(128.0 / 32767.0)
@@ -129,17 +130,22 @@ def filterbank(cfg: PfbConfig, tail, block):
     w = jax.lax.conv_general_dilated(
         lhs, rhs[:, :, ::-1],                               # correlation
         window_strides=(1,), padding="VALID",
-        feature_group_count=2 * d)[0]                       # (2D, M)
-    w = w.T.reshape(m, d, 2)                                # (M, D, 2)
+        feature_group_count=2 * d)[0]                       # (2D, M), ch 2q+c
 
-    # u[m, p] = W[m, D-1-p]; channel c = sum_p u[m,p] e^{+j2pi c p/D} so
-    # that channel c sits at +c*fs/D — that positive-exponent kernel is
-    # ifft*D; the extra D matches the mixer channelizer's boxcar-sum gain
-    u = (w[:, ::-1, 0] + 1j * w[:, ::-1, 1]) * jnp.float32(d)
-    ch = jnp.fft.ifft(u, axis=1) * jnp.float32(d)           # (M, D) complex
-    z = jnp.stack([jnp.real(ch), jnp.imag(ch)], axis=-1)    # (M, D, 2)
-    z = jnp.swapaxes(z, 0, 1).astype(jnp.float32)           # (D, M, 2)
-    return xp[-(t * d):], z
+    # PLANAR back half (round-3 construct rules, docs/PERF.md): split the
+    # conv's channel axis by pure reshape — the sliced axis keeps a WIDE
+    # trailing dim (M), which vectorizes, unlike the former (M, D, 2)
+    # trailing-2 slices/stacks.
+    w3 = w.reshape(d, 2, m)                                 # [q, c, m]
+    wi, wq = w3[:, 0, :], w3[:, 1, :]                       # (D, M)
+    # u[p] = W[D-1-p]; channel c = sum_p u[p] e^{+j2pi c p/D} so channel c
+    # sits at +c*fs/D — that positive-exponent kernel is ifft*D; the
+    # extra D matches the mixer channelizer's boxcar-sum gain
+    u = (wi[::-1, :] + 1j * wq[::-1, :]) * jnp.float32(d)
+    ch = jnp.fft.ifft(u, axis=0) * jnp.float32(d)           # (D, M) complex
+    zi = jnp.real(ch).astype(jnp.float32)
+    zq = jnp.imag(ch).astype(jnp.float32)
+    return xp[-(t * d):], zi, zq
 
 
 @partial(jax.jit, static_argnums=0)
@@ -150,11 +156,11 @@ def pfb_step(cfg: PfbConfig, state: PfbState, block):
     ``(state, audio (D, cap), n_valid (D,))`` — same contract as
     ``channelizer.channelize_step``.
     """
-    tail, z = filterbank(cfg, state.tail, block)
+    tail, zi, zq = filterbank(cfg, state.tail, block)
 
-    prev, davg, racc, rphase, audio, n_valid = _chan.demod_tail_batch(
+    prev, davg, racc, rphase, audio, n_valid = _chan.demod_tail_batch_planar(
         cfg, state.prev_iq, state.deemph_avg, state.resamp.acc,
-        state.resamp.phase, z)
+        state.resamp.phase, zi, zq)
 
     new_state = PfbState(tail=tail, prev_iq=prev, deemph_avg=davg,
                          resamp=ResampleState(racc, rphase))

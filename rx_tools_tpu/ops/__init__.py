@@ -20,7 +20,8 @@ from rx_tools_tpu.ops.fir import (
 from rx_tools_tpu.ops.discriminators import (
     polar_discriminant, fast_atan2, polar_disc_fast, polar_disc_lut,
     esbensen_disc,
-    fm_discriminate, fm_discriminate_planar, fm_discriminate_batch, disc_mode,
+    fm_discriminate, fm_discriminate_planar, fm_discriminate_batch,
+    fm_discriminate_batch_planar, disc_mode,
     DISC_STD, DISC_FAST, DISC_LUT, DISC_ALE,
 )
 from rx_tools_tpu.ops.demods import am_demod, usb_demod, lsb_demod

@@ -181,6 +181,37 @@ def fm_discriminate_batch(prev, x, mode: int):
     return x[:, -1, :], d
 
 
+def fm_discriminate_batch_planar(prev, zi, zq, mode: int):
+    """Planar batched discriminator: ``zi``/``zq`` (C, M), ``prev`` (C, 2).
+
+    Planar twin of :func:`fm_discriminate_batch` (same semantics incl.
+    the per-block std-atan seam at column 0); consumes channel-planar
+    streams so nothing slices a 2-wide trailing axis at rate
+    (docs/PERF.md round-3 construct rules).  Returns
+    ``(new_prev (C, 2), d (C, M))``.
+    """
+    ar, aj = zi, zq
+    br = jnp.concatenate([prev[:, 0][:, None], zi[:, :-1]], axis=1)
+    bj = jnp.concatenate([prev[:, 1][:, None], zq[:, :-1]], axis=1)
+    cr = ar * br + aj * bj
+    cj = aj * br - ar * bj
+    if mode == DISC_STD:
+        d = polar_discriminant(cr, cj)
+    elif mode in (DISC_FAST, DISC_LUT, DISC_ALE):
+        if mode == DISC_LUT:
+            ai, ji = jnp.round(ar).astype(jnp.int32), jnp.round(aj).astype(jnp.int32)
+            bi, qi = jnp.round(br).astype(jnp.int32), jnp.round(bj).astype(jnp.int32)
+            d = polar_disc_lut(ai * bi + ji * qi, ji * bi - ai * qi)
+        else:
+            d = (polar_disc_fast(cr, cj) if mode == DISC_FAST
+                 else esbensen_disc(ar, aj, br, bj))
+        d = jnp.concatenate(
+            [polar_discriminant(cr[:, :1], cj[:, :1]), d[:, 1:]], axis=1)
+    else:
+        raise ValueError(f"bad discriminator mode {mode}")
+    return jnp.stack([zi[:, -1], zq[:, -1]], axis=-1), d
+
+
 def fm_discriminate_planar(prev, zi, zq, mode: int,
                            seam_stride: int | None = None):
     """Planar-I/Q FM discriminator: ``zi``/``zq`` (K,) float32.

@@ -45,8 +45,8 @@ def test_channel_mapping_and_rejection(k):
     f = cfg.channel_freqs()[k]
     blk = _tone_block(n, f)
     st = pfb.init_state(cfg)
-    tail, ch = pfb.filterbank(cfg, st.tail, jnp.asarray(blk))
-    e = np.asarray((ch[..., 0] ** 2 + ch[..., 1] ** 2).sum(axis=1))
+    tail, zi, zq = pfb.filterbank(cfg, st.tail, jnp.asarray(blk))
+    e = np.asarray((zi ** 2 + zq ** 2).sum(axis=1))
     assert np.argmax(e) == k
     others = np.delete(e, k)
     assert 10 * np.log10(others.max() / e[k]) < -40
@@ -59,11 +59,15 @@ def test_streaming_seam_bit_exact():
     rng = np.random.default_rng(1)
     blk = rng.integers(-8000, 8000, 2 * n).astype(np.int16)
     st0 = pfb.init_state(cfg).tail
-    _, full = pfb.filterbank(cfg, st0, jnp.asarray(blk))
-    t1, h1 = pfb.filterbank(cfg, st0, jnp.asarray(blk[:n]))
-    _, h2 = pfb.filterbank(cfg, t1, jnp.asarray(blk[n:]))
-    both = np.concatenate([np.asarray(h1), np.asarray(h2)], axis=1)
-    np.testing.assert_array_equal(both, np.asarray(full))
+    _, fi, fq = pfb.filterbank(cfg, st0, jnp.asarray(blk))
+    t1, h1i, h1q = pfb.filterbank(cfg, st0, jnp.asarray(blk[:n]))
+    _, h2i, h2q = pfb.filterbank(cfg, t1, jnp.asarray(blk[n:]))
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(h1i), np.asarray(h2i)], axis=1),
+        np.asarray(fi))
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(h1q), np.asarray(h2q)], axis=1),
+        np.asarray(fq))
 
 
 def test_fm_demod_through_channel():
