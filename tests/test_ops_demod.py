@@ -75,6 +75,38 @@ def test_fm_discriminate_lut_bit_exact_at_full_lp_range():
     np.testing.assert_array_equal(got[1:], np.array(ref[1:], np.float64))
 
 
+def test_planar_discriminators_match_interleaved():
+    """The planar discriminator twins (round-3 layout campaign) are exact
+    reformulations: same outputs as the (K, 2) / (C, M, 2) paths for
+    every mode, including the std-atan seam handling."""
+    rng = np.random.default_rng(21)
+    k = 257
+    z = rng.normal(0, 800, (k, 2)).astype(np.float32)
+    prev = jnp.asarray([13.0, -7.0], jnp.float32)
+    for mode in (ops.DISC_STD, ops.DISC_FAST, ops.DISC_LUT, ops.DISC_ALE):
+        p1, d1 = ops.fm_discriminate(prev, jnp.asarray(z), mode)
+        p2, d2 = ops.fm_discriminate_planar(prev, jnp.asarray(z[:, 0]),
+                                            jnp.asarray(z[:, 1]), mode)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        # seam_stride variant too
+        p1, d1 = ops.fm_discriminate(prev, jnp.asarray(z), mode,
+                                     seam_stride=64)
+        p2, d2 = ops.fm_discriminate_planar(prev, jnp.asarray(z[:, 0]),
+                                            jnp.asarray(z[:, 1]), mode,
+                                            seam_stride=64)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    # batched twin
+    zb = rng.normal(0, 800, (5, 129, 2)).astype(np.float32)
+    prevb = jnp.asarray(rng.normal(0, 10, (5, 2)), jnp.float32)
+    for mode in (ops.DISC_STD, ops.DISC_FAST, ops.DISC_LUT, ops.DISC_ALE):
+        p1, d1 = ops.fm_discriminate_batch(prevb, jnp.asarray(zb), mode)
+        p2, d2 = ops.fm_discriminate_batch_planar(
+            prevb, jnp.asarray(zb[..., 0]), jnp.asarray(zb[..., 1]), mode)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
 def test_polar_disc_lut_quirks():
     """The LUT path's corner cases, each matched to the C control flow."""
     def both(ar, aj, br, bj):
