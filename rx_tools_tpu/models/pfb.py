@@ -29,6 +29,7 @@ gathers, no transcendentals outside the FFT.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from functools import partial
@@ -146,6 +147,65 @@ def filterbank(cfg: PfbConfig, tail, block):
     zi = jnp.real(ch).astype(jnp.float32)
     zq = jnp.imag(ch).astype(jnp.float32)
     return xp[-(t * d):], zi, zq
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_matrix(d: int) -> np.ndarray:
+    """(2D, 2D) real matrix folding branch-reversal + D-point inverse DFT
+    + the x D gain, consuming INTERLEAVED branch columns.
+
+    Row c in [0, D) is Re(channel c), row D+c is Im; column j = 2q+c' is
+    branch q, component c'.  Realizes exactly what ``filterbank`` does
+    with ``wi[::-1] + 1j*wq[::-1]`` -> ``ifft * D`` (the channel-c kernel
+    ``D * exp(+2j*pi*c*(D-1-q)/D)``), as one real matmul so the MXU does
+    the DFT and the I/Q deinterleave never touches a 2-wide axis.
+    """
+    q = np.arange(d)
+    th = 2 * np.pi * np.outer(np.arange(d), (d - 1 - q)) / d   # (C, Q)
+    m = np.zeros((2 * d, 2 * d), np.float32)
+    m[:d, 0::2] = d * np.cos(th)
+    m[:d, 1::2] = -d * np.sin(th)
+    m[d:, 0::2] = d * np.sin(th)
+    m[d:, 1::2] = d * np.cos(th)
+    return m
+
+
+def filterbank_mxu(cfg: PfbConfig, tail, block):
+    """MXU formulation of :func:`filterbank` — identical semantics.
+
+    Round-3 construct rules (docs/PERF.md): the conv formulation's
+    depthwise ``conv_general_dilated`` and its middle-axis splits keep the
+    branch axis (2D wide) on the VPU lane axis at partial width.  Here the
+    branch FIR is T shifted multiply-adds over a ``(2D, M+T-1)`` layout
+    (wide minor-axis slices, full lane width) and the branch DFT +
+    deinterleave is ONE ``(2D, 2D) @ (2D, M)`` matmul on the MXU
+    (for D=64 the contraction is exactly 128 lanes).  Precision HIGHEST
+    keeps f32-equivalent accuracy (inputs are 15-bit ints x scale).
+    """
+    d, t = cfg.n_channels, cfg.taps_per_branch
+    n = block.shape[0] // 2
+    assert n % d == 0, (n, d)
+    m = n // d
+    y = block.astype(jnp.float32) * jnp.float32(128.0 / 32767.0)
+    xp_flat = jnp.concatenate([tail.reshape(-1), y])        # (2(T*D+N),)
+
+    h = jnp.asarray(_prototype(cfg))
+    hp2 = h.reshape(t, d)[::-1, ::-1]                       # (T, D)
+    # the conv formulation correlates with the TAP-REVERSED kernel:
+    # W[m, q] = sum_w Y[m+w, q] * hp2[T-1-w, q]
+    hb = jnp.repeat(hp2, 2, axis=1)[::-1]                   # (T, 2D), col 2q+c
+
+    # frames[k, 2q+c] = xp[k*D + 1 + q][c]  (same framing as filterbank)
+    frames = jax.lax.slice(xp_flat, (2,), (2 + (m + t - 1) * 2 * d,))
+    ft = frames.reshape(m + t - 1, 2 * d).T                 # (2D, M+T-1)
+    w = ft[:, :m] * hb[0][:, None]
+    for tt in range(1, t):
+        w = w + ft[:, tt:tt + m] * hb[tt][:, None]          # (2D, M)
+
+    ch = jax.lax.dot_general(jnp.asarray(_dft_matrix(d)), w,
+                             (((1,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)
+    return xp_flat[-(2 * t * d):].reshape(t * d, 2), ch[:d], ch[d:]
 
 
 @partial(jax.jit, static_argnums=0)

@@ -1,0 +1,167 @@
+"""MXU formulations of the fused capture frontend.
+
+The masked-reduce frontend (``ops/pallas_frontend.py``, round 3) lifted
+the capture head from 0.6 to ~39 GB/s, but its reduction runs over a
+2D-wide trailing axis (2D = 28 for the WBFM chain): only 28 of the
+128 VPU lanes carry data, and the measured rate sits far below the
+~790 GB/s delivered-bandwidth ceiling (tools/roofline.py).  This module
+re-expresses the same computation — CS16 rescale (``rtl_fm.c:845-848``),
+fs/4 derotation (``rtl_fm.c:309-327``), boxcar decimate by D
+(``rtl_fm.c:351-371``) — as matrix products so the reduction runs on the
+MXU (the systolic array), the unit with by far the most arithmetic
+headroom on a TPU:
+
+``capture_frontend_mm`` (the block-banded matmul)::
+
+    out[r, :] = g[r, :] @ M           g = y.reshape(K/P, P*2D)
+
+where ``M`` (P*2D, 2P) holds P shifted copies of the {+1, 0, -1}
+fs/4+decimate masks with the group phase ``i**(D*k)`` folded into each
+column (P % 4 == 0 makes the phase pattern tile, so no post-select at
+all).  For the WBFM geometry the contraction length lands on an exact
+multiple of 128 (P=32, D=14 -> 896 = 7*128): no contraction padding.
+Output columns [0:P) are the P in-row Re samples, [P:2P) the Im — wide
+column blocks, never a 2-wide slice.
+
+``capture_frontend_t2`` (the thin matmul)::
+
+    out = M2 @ g.T        M2 (2, 2D), g (K, 2D)  ->  out (2, K)
+
+keeps the output planar by construction (row 0 = Re stream, row 1 = Im)
+at the cost of contraction padding 2D -> 128; the group phase is applied
+as the usual elementwise K-select.
+
+Precision: the mask entries are exactly representable and the rescaled
+inputs carry 15 mantissa bits, so ``Precision.HIGHEST`` reproduces the
+f32 elementwise formulation up to sum reassociation (same class of
+~1e-4-at-8-bit-scale error as the masked reduce).  DEFAULT (bf16 inputs,
+8 mantissa bits) is NOT acceptable here and is never used.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rx_tools_tpu.ops.pallas_frontend import _SCALE, _fs4_decim_masks
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _group_phase_select(zi, zq, d: int):
+    """Apply the per-output-sample group phase ``i**(D*k)`` elementwise."""
+    k = jnp.arange(zi.shape[0], dtype=jnp.int32)
+    p = (k * (d & 3)) & 3
+    return (jnp.where(p == 0, zi, jnp.where(p == 1, -zq,
+                      jnp.where(p == 2, -zi, zq))),
+            jnp.where(p == 0, zq, jnp.where(p == 1, zi,
+                      jnp.where(p == 2, -zq, -zi))))
+
+
+@functools.lru_cache(maxsize=32)
+def _fs4_decim_matrix(d: int, p: int, rotate: bool) -> np.ndarray:
+    """(P*2D, 2P) block-banded mask matrix, group phase folded per column.
+
+    Column j in [0, P) is Re(z[r*P+j]), column P+j is Im; rows
+    [j*2D, (j+1)*2D) carry the fs/4+decimate masks for phase j rotated by
+    ``i**(D*j mod 4)`` (valid because P % 4 == 0 tiles the phase pattern:
+    D*(r*P+j) === D*j (mod 4)).
+    """
+    assert p % 4 == 0 or not rotate or d % 4 == 0
+    a, b = _fs4_decim_masks(d, rotate)            # (2D,) each, {+1,0,-1}
+    m = np.zeros((p * 2 * d, 2 * p), np.float32)
+    for j in range(p):
+        ph = (d * j) & 3 if rotate else 0
+        # z[k] = i**ph * (a.x_j + i b.x_j)
+        if ph == 0:
+            re, im = a, b
+        elif ph == 1:
+            re, im = -b, a
+        elif ph == 2:
+            re, im = -a, -b
+        else:
+            re, im = b, -a
+        rows = slice(j * 2 * d, (j + 1) * 2 * d)
+        m[rows, j] = re
+        m[rows, p + j] = im
+    return m
+
+
+def _pick_p(k: int, d: int, rotate: bool) -> int:
+    """Largest supported phase-block size dividing the output length."""
+    need4 = rotate and (d & 3) != 0
+    for cand in (32, 16, 8, 4):
+        if k % cand == 0:
+            return cand
+    if not need4 and k % 2 == 0:
+        return 2
+    return 1
+
+
+def capture_frontend_mm(block_i16, downsample: int, rotate: bool = True,
+                        p: int | None = None, precision=_HI):
+    """``(2N,) int16 -> ((K,), (K,)) float32`` planar, via one MXU matmul.
+
+    Semantics identical to ``capture_frontend_planar`` up to f32 sum
+    reassociation.  ``p`` is the phase-block size (output samples per
+    matmul row); None picks the largest of {32, 16, 8, 4} dividing K.
+    """
+    d = int(downsample)
+    k = block_i16.shape[0] // (2 * d)
+    if p is None:
+        p = _pick_p(k, d, rotate)
+    if p == 1:                                   # no usable block size
+        from rx_tools_tpu.ops.pallas_frontend import capture_frontend_planar
+        return capture_frontend_planar(block_i16, downsample, rotate)
+    y = block_i16.astype(jnp.float32) * _SCALE
+    g = y.reshape(k // p, p * 2 * d)
+    m = jnp.asarray(_fs4_decim_matrix(d, p, bool(rotate)))
+    out = jax.lax.dot_general(g, m, (((1,), (0,)), ((), ())),
+                              precision=precision)       # (K/P, 2P)
+    zi = out[:, :p].reshape(-1)
+    zq = out[:, p:].reshape(-1)
+    return zi, zq
+
+
+def capture_frontend_t2(block_i16, downsample: int, rotate: bool = True,
+                        precision=_HI):
+    """``(2N,) int16 -> ((K,), (K,)) float32`` planar, thin-matmul variant.
+
+    ``(2, 2D) @ (K, 2D)^T -> (2, K)``: output rows ARE the planar streams
+    (K on the lane axis), group phase applied as the elementwise select.
+    """
+    d = int(downsample)
+    k = block_i16.shape[0] // (2 * d)
+    y = block_i16.astype(jnp.float32) * _SCALE
+    g = y.reshape(k, 2 * d)
+    a, b = _fs4_decim_masks(d, bool(rotate))
+    m2 = jnp.asarray(np.stack([a, b]))                    # (2, 2D)
+    out = jax.lax.dot_general(m2, g, (((1,), (1,)), ((), ())),
+                              precision=precision)        # (2, K)
+    zi, zq = out[0], out[1]
+    if rotate and d % 4:
+        zi, zq = _group_phase_select(zi, zq, d)
+    return zi, zq
+
+
+def capture_frontend_conv(block_i16, downsample: int, rotate: bool = True,
+                          precision=_HI):
+    """``(2N,) int16 -> ((K,), (K,)) float32`` planar, strided-conv variant.
+
+    One ``conv_general_dilated`` with window = stride = 2D over the flat
+    interleaved stream, 2 output features (Re mask, Im mask).
+    """
+    d = int(downsample)
+    y = (block_i16.astype(jnp.float32) * _SCALE)[None, None, :]  # (1, 1, 2N)
+    a, b = _fs4_decim_masks(d, bool(rotate))
+    rhs = jnp.asarray(np.stack([a, b])[:, None, :])       # (2, 1, 2D)
+    out = jax.lax.conv_general_dilated(
+        y, rhs, window_strides=(2 * d,), padding="VALID",
+        precision=precision)[0]                           # (2, K)
+    zi, zq = out[0], out[1]
+    if rotate and d % 4:
+        zi, zq = _group_phase_select(zi, zq, d)
+    return zi, zq
