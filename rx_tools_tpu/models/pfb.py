@@ -215,8 +215,11 @@ def pfb_step(cfg: PfbConfig, state: PfbState, block):
     ``block``: (2N,) int16 at capture_rate, N % D == 0.  Returns
     ``(state, audio (D, cap), n_valid (D,))`` — same contract as
     ``channelizer.channelize_step``.
+
+    Uses :func:`filterbank_mxu` — measured 31x the conv formulation
+    standalone and 2x end-to-end on the chip (docs/PERF.md round-3).
     """
-    tail, zi, zq = filterbank(cfg, state.tail, block)
+    tail, zi, zq = filterbank_mxu(cfg, state.tail, block)
 
     prev, davg, racc, rphase, audio, n_valid = _chan.demod_tail_batch_planar(
         cfg, state.prev_iq, state.deemph_avg, state.resamp.acc,

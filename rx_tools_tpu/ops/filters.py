@@ -22,6 +22,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def deemph_alpha(rate_out: int, time_constant_us: int) -> int:
@@ -30,26 +31,64 @@ def deemph_alpha(rate_out: int, time_constant_us: int) -> int:
     return int(round(1.0 / (1.0 - math.exp(-1.0 / (rate_out * tc)))))
 
 
+def _iir_row_scan(b, c: float):
+    """Inclusive first-order scan along the minor axis with CONSTANT decay:
+    ``S[..., l] = c*S[..., l-1] + b[..., l]`` via Hillis-Steele shifted
+    adds.  Because the decay is position-independent, each doubling level
+    needs only the scalar ``c**s`` — no A-coefficient array — so this
+    moves half the HBM traffic of the generic affine
+    ``lax.associative_scan`` (measured 2x end-to-end on the deemph stage,
+    docs/PERF.md round-3).  Minor-axis shifts are wide lane operations.
+    """
+    ll = b.shape[-1]
+    s = 1
+    while s < ll:
+        pad = [(0, 0)] * (b.ndim - 1) + [(s, 0)]
+        b = b + np.float32(c ** s) * jnp.pad(b, pad)[..., :ll]
+        s *= 2
+    return b
+
+
+def _iir_scan_flat(avg, b, c: float, block: int = 512):
+    """``y[n] = c*y[n-1] + b[n]`` (y[-1] = avg) over a flat stream, as a
+    two-level blocked scan: in-row Hillis-Steele over ``block`` lanes
+    (log2(block) passes over the data instead of log2(N)), then a tiny
+    carry scan over the N/block row ends, then one fused combine."""
+    k = b.shape[0]
+    r = -(-k // block)
+    bp = jnp.pad(b, (0, r * block - k)).reshape(r, block)
+    s_in = _iir_row_scan(bp, c)                     # (R, L) in-row scans
+    cl = float(c) ** block
+    ends = _iir_row_scan(s_in[:, -1], cl)           # (R,) inclusive carries
+    # carry INTO row i: rows 0..i-1's inclusive carry, plus the decayed avg
+    car = (jnp.concatenate([jnp.zeros((1,), b.dtype), ends[:-1]])
+           + jnp.asarray(np.float32(cl) ** np.arange(r)) * avg)
+    cvec = jnp.asarray((np.float64(c) ** np.arange(1, block + 1)
+                        ).astype(np.float32))
+    y = (s_in + car[:, None] * cvec[None, :]).reshape(-1)[:k]
+    return y[-1], y
+
+
 def deemph_filter(avg, x, deemph_a: int, axis: int = 0):
-    """(carry, block) -> (carry, block) one-pole IIR via associative scan.
+    """(carry, block) -> (carry, block) one-pole IIR, parallel-scan form.
 
     ``axis`` selects the time axis: 0 for a flat (N,) stream, -1/1 for a
-    batched (C, N) channel stack (``avg`` then has shape (C,)).
+    batched (C, N) channel stack (``avg`` then has shape (C,)).  The
+    recurrence ``y[n] = (1-1/a) y[n-1] + x[n]/a`` has a constant decay,
+    so the scan uses scalar per-level coefficients (:func:`_iir_row_scan`)
+    rather than the generic affine associative scan.
     """
-    inv_a = jnp.float32(1.0 / deemph_a)
-    c = jnp.float32(1.0) - inv_a
-    # y[n] = c*y[n-1] + inv_a*x[n];   scan over affine maps (A, B)
-    A = jnp.full_like(x, c)
-    B = x * inv_a
-
-    def compose(l, r):
-        return l[0] * r[0], l[1] * r[0] + r[1]
-
-    As, Bs = jax.lax.associative_scan(compose, (A, B), axis=axis)
+    inv_a = float(1.0 / deemph_a)
+    c = 1.0 - inv_a
+    b = x * jnp.float32(inv_a)
     if axis in (0,) and x.ndim == 1:
-        y = Bs + As * avg
-        return y[-1], y
-    y = Bs + As * avg[..., None]
+        return _iir_scan_flat(avg, b, c)
+    # batched (C, M): scan along the minor axis directly
+    m = x.shape[-1]
+    s_in = _iir_row_scan(b, c)
+    cvec = jnp.asarray((np.float64(c) ** np.arange(1, m + 1)
+                        ).astype(np.float32))
+    y = s_in + avg[..., None] * cvec
     return y[..., -1], y
 
 

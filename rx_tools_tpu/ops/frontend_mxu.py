@@ -126,6 +126,60 @@ def capture_frontend_mm(block_i16, downsample: int, rotate: bool = True,
     return zi, zq
 
 
+def _mm_kernel(x_ref, m_ref, o_ref, *, scale: float):
+    # Mosaic only lowers Precision.HIGHEST (f32) dots; HIGH raises
+    v = x_ref[:].astype(jnp.float32) * scale          # int16 tile -> f32 VMEM
+    o_ref[:] = jnp.dot(v, m_ref[:], precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+
+def capture_frontend_mm_pallas(block_i16, downsample: int,
+                               rotate: bool = True, p: int = 32,
+                               tile_rows: int = 128, precision=_HI,
+                               interpret: bool = False):
+    """The block-banded matmul with the int16->f32 convert fused in VMEM.
+
+    The plain ``capture_frontend_mm`` makes XLA materialize the converted
+    f32 stream in HBM before the dot reads it back (dots don't absorb
+    elementwise producers): ~10 B of HBM traffic per 2 B input sample.
+    This Pallas kernel stages an int16 ``(T, P*2D)`` tile into VMEM,
+    converts + rescales on the VPU, and feeds the MXU directly — HBM
+    traffic is the raw int16 in plus the 1/D-sized decimated out.  This
+    is the pattern class where a hand kernel CAN win (docs/PERF.md: the
+    round-2 kernel lost because XLA had already fused everything; here
+    the fusion barrier sits in XLA's own dot lowering).
+
+    Requires ``K % p == 0``; the row grid handles ragged ``K/p % tile_rows``
+    via Pallas bounds masking.  Semantics == ``capture_frontend_mm``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = int(downsample)
+    k = block_i16.shape[0] // (2 * d)
+    assert k % p == 0, (k, p)
+    rows = k // p
+    x = block_i16.reshape(rows, p * 2 * d)
+    m = jnp.asarray(_fs4_decim_matrix(d, p, bool(rotate)))
+    t = min(tile_rows, rows)
+    grid = (rows + t - 1) // t
+    del precision                     # kernel always uses HIGHEST (Mosaic)
+    kern = functools.partial(_mm_kernel, scale=float(_SCALE))
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((t, p * 2 * d), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((p * 2 * d, 2 * p), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((t, 2 * p), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 2 * p), jnp.float32),
+        interpret=interpret,
+    )(x, m)
+    return out[:, :p].reshape(-1), out[:, p:].reshape(-1)
+
+
 def capture_frontend_t2(block_i16, downsample: int, rotate: bool = True,
                         precision=_HI):
     """``(2N,) int16 -> ((K,), (K,)) float32`` planar, thin-matmul variant.

@@ -92,6 +92,27 @@ def resample_sinc(state: SincResampleState, x, fast: int, slow: int,
             y, n_valid)
 
 
+def _pick_rows(v, idx, lanes: int = 128):
+    """``v[idx]`` for a flat ``v`` and int32 ``idx`` (any shape), without an
+    elementwise gather.
+
+    Elementwise gathers on this TPU backend run at ~1 element per several
+    cycles (measured ~7 ns/element — the entire resampler cost was one
+    42k-element gather, docs/PERF.md round-3).  Row gathers are the
+    embedding-lookup pattern the hardware does well: reshape ``v`` to
+    ``(R, lanes)``, gather whole rows, then select the lane with an
+    iota-keyed masked reduce (full VPU width).  Values are identical —
+    the same elements are picked, no arithmetic changes.
+    """
+    n = v.shape[0]
+    r = -(-n // lanes)
+    v2 = jnp.pad(v, (0, r * lanes - n)).reshape(r, lanes)
+    rows = v2[idx // lanes]                        # (..., lanes) row gather
+    lane = (idx % lanes)[..., None]
+    sel = jnp.arange(lanes, dtype=jnp.int32) == lane
+    return jnp.sum(jnp.where(sel, rows, 0.0), axis=-1)
+
+
 class ResampleState(NamedTuple):
     acc: jnp.ndarray      # () float32 pending window sum   (now_lpr)
     phase: jnp.ndarray    # () int32 fractional phase       (prev_lpr_index)
@@ -156,15 +177,17 @@ def resample_rational(state: ResampleState, x, fast: int, slow: int):
     pos = (m - state.phase + slow - 1) // slow - 1       # 0-indexed sample idx
     valid = k < total_emits
     posc = jnp.clip(pos, 0, n - 1)
-    ends = csum[posc]
+    ends = _pick_rows(csum, posc.astype(jnp.int32))
     starts = jnp.concatenate([jnp.zeros(1, x.dtype), ends[:-1]])
     y = (ends - starts) + jnp.where(k == 0, state.acc, 0.0)
     y = jnp.where(valid, y * divisor, 0.0)
     n_valid = jnp.sum(valid.astype(jnp.int32))
     # leftover
     total = csum[-1] + state.acc
-    consumed_end = jnp.where(total_emits > 0, csum[jnp.clip(
-        (total_emits * fast - state.phase + slow - 1) // slow - 1, 0, n - 1)]
+    consumed_end = jnp.where(total_emits > 0, _pick_rows(
+        csum, jnp.clip(
+            (total_emits * fast - state.phase + slow - 1) // slow - 1,
+            0, n - 1).astype(jnp.int32)[None])[0]
         + state.acc, 0.0)
     new_acc = total - consumed_end
     new_phase = (state.phase + n * slow) % fast
@@ -211,7 +234,10 @@ def resample_rational_batch(state: ResampleState, x, fast: int, slow: int):
     posc = jnp.clip(pos, 0, n - 1)
 
     csum = jnp.cumsum(x, axis=1)                          # (C, N)
-    ends = jnp.take(csum, posc, axis=1)                   # (C, cap)
+    # row gather over the transposed accumulator: each index picks one
+    # C-wide row (the embedding pattern), not C scalar elements — the
+    # elementwise form runs at ~1 element/several cycles on this backend
+    ends = jnp.take(csum.T, posc, axis=0).T               # (C, cap)
     starts = jnp.concatenate(
         [jnp.zeros((c_ch, 1), x.dtype), ends[:, :-1]], axis=1)
     y = (ends - starts) + jnp.where(k == 0, 1.0, 0.0)[None, :] * state.acc[:, None]
@@ -222,7 +248,7 @@ def resample_rational_batch(state: ResampleState, x, fast: int, slow: int):
     last_pos = jnp.clip((total_emits * fast - phase0 + slow - 1) // slow - 1,
                         0, n - 1)
     consumed_end = jnp.where(total_emits > 0,
-                             jnp.take(csum, last_pos[None], axis=1)[:, 0]
+                             jnp.take(csum.T, last_pos[None], axis=0)[0]
                              + state.acc, 0.0)
     new_acc = total - consumed_end
     new_phase = jnp.full((c_ch,), (phase0 + n * slow) % fast, jnp.int32)
