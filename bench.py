@@ -56,22 +56,30 @@ def main():
     # block geometry: ~262k complex samples x 12 blocks/chunk (the flat
     # engine's int32 resampler phase bounds audio samples per call, and
     # compile time bounds both the block count and the block size);
-    # N_CHUNKS distinct device-resident chunks so every iteration streams
-    # FRESH data from HBM — nothing is loop-invariant and XLA can neither
-    # hoist nor CSE the capture work between iterations
+    # K2 passes x CHUNKS_PER_PASS DISTINCT device-resident chunks so every
+    # iteration streams FRESH data from HBM with NO perturbation pass —
+    # nothing is loop-invariant and XLA can neither hoist nor CSE the
+    # capture work between iterations.  (The earlier scheme perturbed a
+    # small pool with the pass index; that add fuses for free into an
+    # elementwise frontend but MATERIALIZES an int16 array — a ~36 GB/s
+    # op on this backend — when the frontend is a fusion barrier like the
+    # production Pallas/MXU kernel, skewing A/Bs.  Distinct chunks remove
+    # the perturbation entirely: round-3b finding, docs/PERF.md.)
     n = fmchain.block_samples(cfg, target=262144)
     blocks_per_chunk = 12
-    N_CHUNKS = 4
+    CHUNKS_PER_PASS = 4
+    K1, K2 = 1, 3
     rng = np.random.default_rng(0)
     data = rng.integers(-16000, 16000,
-                        (N_CHUNKS, blocks_per_chunk, 2 * n)).astype(np.int16)
+                        (K2 * CHUNKS_PER_PASS, blocks_per_chunk,
+                         2 * n)).astype(np.int16)
     data_dev = jax.device_put(data)
     state0 = fmchain.init_state(cfg)
     work = blocks_per_chunk * n          # I/Q samples per chain iteration
 
     def make_run(engine, n_passes):
-        """Process the chunk pool ``n_passes`` times in ONE program,
-        measured so XLA cannot cheat:
+        """Process ``n_passes * CHUNKS_PER_PASS`` distinct chunks in ONE
+        program, measured so XLA cannot cheat:
 
         - the pool is a function ARGUMENT, never a closure: on this
           backend a closed-over device array ships as a literal constant
@@ -79,10 +87,9 @@ def main():
           work AT COMPILE TIME (round-3 finding: the closure variant of
           this very bench measured ~20x the argument variant — the
           r01/r02 numbers carried exactly that artifact);
-        - every chunk is distinct data (static index into the resident
-          array), and every pass perturbs it with the pass index (one
-          fused int16 add at capture rate), so no capture-rate work is
-          loop-invariant or CSE-able across chunks OR passes;
+        - every iteration consumes a DISTINCT chunk (static index into
+          the resident pool), so no capture-rate work is loop-invariant
+          or CSE-able across iterations, with no perturbation pass;
         - the carried DSP state threads through all chunks, so the chain
           semantics are the real streaming semantics;
         - the returned scalar folds in a checksum of every output, so dead
@@ -94,9 +101,9 @@ def main():
             st, pool = args
             acc = jnp.zeros(())
             for r in range(n_passes):
-                for c in range(N_CHUNKS):
+                for c in range(CHUNKS_PER_PASS):
                     st, audio, n_valid, levels = engine(
-                        cfg, st, pool[c] + jnp.int16(r))
+                        cfg, st, pool[r * CHUNKS_PER_PASS + c])
                     acc = (acc + jnp.sum(audio)
                            + n_valid.sum().astype(jnp.float32)
                            + jnp.sum(levels))
@@ -104,7 +111,7 @@ def main():
         return run
 
     def measure(engine, k1, k2, reps=14):
-        """Marginal device time per pool pass: median(t(k2)) - median(t(k1)).
+        """Marginal device time per pass: median(t(k2)) - median(t(k1)).
         The tunnel RPC adds ~30 ms +/- ms-scale jitter to every call;
         differencing removes the mean, the median tames the jitter, and
         the pass loop keeps the marginal work (~(k2-k1)*4*12*262k samples)
@@ -123,7 +130,7 @@ def main():
         dt = (statistics.median(t2s) - statistics.median(t1s)) / (k2 - k1)
         if dt <= 0:
             return 0.0                          # jitter swamped the marginal
-        return work * N_CHUNKS / dt
+        return work * CHUNKS_PER_PASS / dt
 
     # two equivalent engines (golden-tested identical): the per-block
     # traced-loop engine and the scan-free flat formulation
@@ -131,9 +138,9 @@ def main():
     # the chip's delivered rate fluctuates over seconds (shared tunnel /
     # power states): take the median of 3 measurement rounds per engine
     import statistics
-    rounds = {"scan": [measure(scan_fm_blocks, 1, 4)
+    rounds = {"scan": [measure(scan_fm_blocks, K1, K2)
                        for _ in range(3)],
-              "flat": [measure(fmchunk.fm_chunk_step, 1, 4)
+              "flat": [measure(fmchunk.fm_chunk_step, K1, K2)
                        for _ in range(3)]}
     results = {k: statistics.median(v) for k, v in rounds.items()}
     engine, rate = max(results.items(), key=lambda kv: kv[1])

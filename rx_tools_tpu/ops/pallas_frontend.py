@@ -133,14 +133,31 @@ def _fs4_decim_masks(d: int, rotate: bool):
 def capture_frontend_planar(block_i16, downsample: int, rotate: bool = True):
     """``(2N,) int16 -> ((N/D,), (N/D,)) float32`` planar I/Q.
 
-    Masked-sum formulation (see :func:`_fs4_decim_masks`): ~39 GB/s on the
+    THE production frontend dispatch (both chain engines call this).  On
+    TPU, when the output length admits a phase-block size >= 8, dispatches
+    to the Pallas fused-convert MXU matmul
+    (``frontend_mxu.capture_frontend_mm_pallas``) — the round-3b fair A/B
+    (no-perturbation distinct-chunk scheme, tools/chipsuite12.py) measured
+    the Pallas-frontend chain at 15.75 GB/s vs 10.3 for the masked
+    reduce in the same session.  ``RX_FE=masked`` forces the masked path.
+
+    Masked-sum fallback (see :func:`_fs4_decim_masks`): ~39 GB/s on the
     chip vs 0.6 GB/s for the previous rotate-then-reshape composition —
-    the round-3 campaign's 60x fix.  Planar output feeds the planar demod
-    tail without ever slicing a 2-wide axis at rate.  f32 sums are
-    reassociated vs the sequential reference order (|err| ~1e-4 at 8-bit
-    scale, inside every golden tolerance).
+    the round-3a campaign's 60x fix.  Planar output feeds the planar
+    demod tail without ever slicing a 2-wide axis at rate.  Both paths'
+    f32 sums are reassociated vs the sequential reference order
+    (|err| ~1e-4 at 8-bit scale, inside every golden tolerance).
     """
+    import os
     d = int(downsample)
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("RX_FE", "") != "masked"):
+        from rx_tools_tpu.ops import frontend_mxu
+        k = block_i16.shape[0] // (2 * d)
+        p = frontend_mxu._pick_p(k, d, bool(rotate))
+        if p >= 8:
+            return frontend_mxu.capture_frontend_mm_pallas(
+                block_i16, d, bool(rotate), p=p)
     y = block_i16.astype(jnp.float32) * _SCALE            # flat (2N,)
     g = y.reshape(-1, 2 * d)                              # (K, 2D)
     a, b = _fs4_decim_masks(d, bool(rotate))
