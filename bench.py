@@ -65,7 +65,12 @@ def main():
     # op on this backend — when the frontend is a fusion barrier like the
     # production Pallas/MXU kernel, skewing A/Bs.  Distinct chunks remove
     # the perturbation entirely: round-3b finding, docs/PERF.md.)
-    n = fmchain.block_samples(cfg, target=262144)
+    # 258048 = 14 * 18432 = 14 * 2^11 * 9: per-block output length K is
+    # divisible by 32, so the per-block scan engine gets the P=32 Pallas
+    # frontend and clean 128-row grids (measured ~15% over the old 262192
+    # geometry, whose per-block K = 8 * 2341 with 2341 prime)
+    n = fmchain.block_samples(cfg, target=int(
+        os.environ.get("RX_BENCH_BLOCK", 258048)))
     blocks_per_chunk = 12
     CHUNKS_PER_PASS = 4
     K1, K2 = 1, 3
