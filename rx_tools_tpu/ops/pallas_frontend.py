@@ -11,11 +11,19 @@ the three capture-rate stages into one VMEM-resident pass so the only HBM
 traffic is the raw int16 block in (4 B/complex sample) and the tiny
 decimated block out.
 
-STATUS — measured on the real chip and NOT the production default: XLA
-already fuses the identical jnp composition into the downstream chain with
-no materialised intermediate, and beats this kernel by ~15x end-to-end
-(see ``capture_frontend`` below and docs/PERF.md).  The kernel is kept as
-an opt-in (``RX_PALLAS=1``) A/B reference and a worked Pallas example.
+STATUS (round 3b) — this module hosts the production frontend DISPATCH
+(:func:`capture_frontend_planar`) plus two historical formulations:
+
+- the ORIGINAL interleaved Pallas kernel below
+  (:func:`capture_frontend_pallas`) remains a documented negative result
+  (its pre-kernel int32 bitcast lowers scalar; opt-in via ``RX_PALLAS=1``);
+- the PRODUCTION TPU path is the round-3b Pallas fused-convert MXU
+  matmul (``frontend_mxu.capture_frontend_mm_pallas``), which
+  :func:`capture_frontend_planar` dispatches to — it won the fair
+  (perturbation-free) chain A/B 15.75 vs 10.3 GB/s over the masked
+  reduce (docs/PERF.md);
+- the masked-reduce formulation below is the pure-XLA fallback
+  (CPU, odd block lengths, ``RX_FE=masked``).
 
 Layout trick: one complex int16 sample (I, Q interleaved, little-endian) is
 exactly one int32 lane, so the input is bitcast to int32 shaped ``(N/D, D)``
