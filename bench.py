@@ -20,6 +20,7 @@ Prints ONE JSON line:
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -121,7 +122,6 @@ def main():
         differencing removes the mean, the median tames the jitter, and
         the pass loop keeps the marginal work (~(k2-k1)*4*12*262k samples)
         an order of magnitude above the jitter floor."""
-        import statistics
         args = (state0, data_dev)
         r1, r2 = make_run(engine, k1), make_run(engine, k2)
         float(r1(args))                         # compile + first-fetch path
@@ -137,23 +137,11 @@ def main():
             return 0.0                          # jitter swamped the marginal
         return work * CHUNKS_PER_PASS / dt
 
-    # two equivalent engines (golden-tested identical): the per-block
-    # traced-loop engine and the scan-free flat formulation
-    # (models/fmchunk.py); report the better of the two on this chip/run
-    # the chip's delivered rate fluctuates over seconds (shared tunnel /
-    # power states): take the median of 3 measurement rounds per engine
-    import statistics
-    rounds = {"scan": [measure(scan_fm_blocks, K1, K2)
-                       for _ in range(3)],
-              "flat": [measure(fmchunk.fm_chunk_step, K1, K2)
-                       for _ in range(3)]}
-    results = {k: statistics.median(v) for k, v in rounds.items()}
-    engine, rate = max(results.items(), key=lambda kv: kv[1])
-
     # delivered-bandwidth ceiling (tools/roofline.py methodology): an
     # int16 xor-reduce over a resident 256 MB pool under lax.fori_loop —
     # the purest "read HBM, touch every byte once" op this chip will do.
-    # The chain is reported as a fraction of THIS measured ceiling, not of
+    # Measured FIRST so chain rounds can be sanity-gated against it; the
+    # chain is reported as a fraction of THIS measured ceiling, not of
     # a datasheet number (round-2 judge: no perf claim without a roofline).
     def measure_ceiling():
         pool = jax.device_put(
@@ -185,7 +173,39 @@ def main():
         return statistics.median(meds)
 
     ceiling = measure_ceiling()
+
+    # Round gating (round-3 verdict: BENCH_r03 shipped 0.0 / 51.0 / 231.7 G
+    # degenerate rounds).  A round is PHYSICAL only if the marginal stayed
+    # positive (<= 0 means RPC jitter swamped it) and the implied read rate
+    # stays below the same-session ceiling (x1.25 measurement margin): the
+    # chain cannot consume int16 input faster than a pure read.  Degenerate
+    # rounds are discarded and re-measured, up to a bounded retry budget.
+    max_rate = (ceiling * 1.25 / 4.0) if ceiling else float("inf")
+
+    def gated_rounds(engine, want=5, max_attempts=9):
+        good, rejected = [], []
+        for _ in range(max_attempts):
+            if len(good) >= want:
+                break
+            v = measure(engine, K1, K2)
+            (good if 0.0 < v < max_rate else rejected).append(v)
+        return good, rejected
+
+    # two equivalent engines (golden-tested identical): the per-block
+    # traced-loop engine and the scan-free flat formulation
+    # (models/fmchunk.py); report the better of the two on this chip/run.
+    # The chip's delivered rate fluctuates over seconds (shared tunnel /
+    # power states): median of >= 5 gated rounds per engine.
+    rounds, rejects = {}, {}
+    for name, eng in (("scan", scan_fm_blocks),
+                      ("flat", fmchunk.fm_chunk_step)):
+        rounds[name], rejects[name] = gated_rounds(eng)
+    results = {k: (statistics.median(v) if v else 0.0)
+               for k, v in rounds.items()}
+    engine, rate = max(results.items(), key=lambda kv: kv[1])
+
     chain_gbs = rate * 4.0 / 1e9          # 2 x int16 per I/Q sample read
+    grounds = [round(x / 1e9, 2) for x in rounds[engine]]
     print(json.dumps({
         "metric": "wbfm_demod_throughput_per_chip",
         "value": round(rate, 1),
@@ -195,6 +215,13 @@ def main():
         "ceiling_gbs": round(ceiling / 1e9, 1),
         "fraction_of_ceiling": round(chain_gbs * 1e9 / ceiling, 3)
         if ceiling else 0.0,
+        "engine": engine,
+        "rounds_gsps": grounds,
+        "spread_gsps": [min(grounds), max(grounds)] if grounds else [],
+        "rejected_rounds": {k: [round(x / 1e9, 2) for x in v]
+                            for k, v in rejects.items() if v},
+        "all_engines_gsps": {k: round(v / 1e9, 2)
+                             for k, v in results.items()},
     }))
     print(f"# engine={engine} block={n} chunk={blocks_per_chunk} "
           f"backend={jax.default_backend()} "

@@ -78,10 +78,17 @@ def deemph_filter(avg, x, deemph_a: int, axis: int = 0):
     so the scan uses scalar per-level coefficients (:func:`_iir_row_scan`)
     rather than the generic affine associative scan.
     """
+    if x.ndim > 1 and axis not in (-1, 1):
+        # the blocked Hillis-Steele scans the MINOR axis; a 2-D input with
+        # axis=0 would silently compute the wrong recurrence (advisor
+        # finding, round 3) — fail loudly instead
+        raise ValueError(
+            f"deemph_filter on a {x.ndim}-D input scans the minor axis; "
+            f"got axis={axis} (transpose the input or pass axis=-1)")
     inv_a = float(1.0 / deemph_a)
     c = 1.0 - inv_a
     b = x * jnp.float32(inv_a)
-    if axis in (0,) and x.ndim == 1:
+    if x.ndim == 1:
         return _iir_scan_flat(avg, b, c)
     # batched (C, M): scan along the minor axis directly
     m = x.shape[-1]

@@ -53,6 +53,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SCALE = np.float32(128.0 / 32767.0)
 
+# Frontend choice, resolved ONCE at import: the dispatch below runs at
+# trace time, so its outcome is baked into jit compilation caches —
+# reading the env per-trace would make a later toggle silently
+# ineffective for already-traced programs while appearing to work for
+# new ones (advisor finding, round 3).  Set RX_FE=masked before
+# importing rx_tools_tpu to force the pure-XLA masked-reduce path.
+_FE_FORCE_MASKED = __import__("os").environ.get("RX_FE", "") == "masked"
+
 
 def _kernel(x_ref, out_ref, *, downsample: int, tile_rows: int,
             rotate: bool, scale: float):
@@ -147,7 +155,10 @@ def capture_frontend_planar(block_i16, downsample: int, rotate: bool = True):
     (``frontend_mxu.capture_frontend_mm_pallas``) — the round-3b fair A/B
     (no-perturbation distinct-chunk scheme, tools/chipsuite12.py) measured
     the Pallas-frontend chain at 15.75 GB/s vs 10.3 for the masked
-    reduce in the same session.  ``RX_FE=masked`` forces the masked path.
+    reduce in the same session.  ``RX_FE=masked`` (read once at module
+    import — see ``_FE_FORCE_MASKED``) forces the masked path; the
+    backend check runs at trace time, i.e. the choice targets the
+    process's default backend and is baked into the jit cache.
 
     Masked-sum fallback (see :func:`_fs4_decim_masks`): ~39 GB/s on the
     chip vs 0.6 GB/s for the previous rotate-then-reshape composition —
@@ -156,10 +167,8 @@ def capture_frontend_planar(block_i16, downsample: int, rotate: bool = True):
     f32 sums are reassociated vs the sequential reference order
     (|err| ~1e-4 at 8-bit scale, inside every golden tolerance).
     """
-    import os
     d = int(downsample)
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("RX_FE", "") != "masked"):
+    if jax.default_backend() == "tpu" and not _FE_FORCE_MASKED:
         from rx_tools_tpu.ops import frontend_mxu
         k = block_i16.shape[0] // (2 * d)
         p = frontend_mxu._pick_p(k, d, bool(rotate))

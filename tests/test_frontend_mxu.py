@@ -42,7 +42,7 @@ def test_thin_variants_match_planar(variant):
           "conv": frontend_mxu.capture_frontend_conv}[variant]
     zi1, zq1 = fn(blk, d, True)
     tol = dict(rtol=2e-5, atol=5e-3)
-    np.testing.assert_allclose(zi1, zq1 * 0 + zi1, **tol)  # shape sanity
+    assert zi1.shape == zq1.shape == zi0.shape
     np.testing.assert_allclose(zi1, zi0, **tol)
     np.testing.assert_allclose(zq1, zq0, **tol)
 
@@ -59,18 +59,41 @@ def test_mm_fallback_odd_k():
     np.testing.assert_array_equal(np.asarray(zq1), np.asarray(zq0))
 
 
-def test_mm_bench_geometry_exactness_class():
-    # the bench chunk: K = 12 * 18728 -> P = 32; error stays in the
-    # reassociation class (~1e-4 at 8-bit scale) that every golden chain
-    # tolerance already absorbs
+@pytest.mark.parametrize("k", [18432, 18728])
+def test_mm_bench_geometry_exactness_class(k):
+    # per-block K at the two bench geometries: 18432 = 2^11*9 (the current
+    # 258048-sample block, P=32) and the old 18728 = 8*2341 (P=8); error
+    # stays in the reassociation class (~1e-4 at 8-bit scale) that every
+    # golden chain tolerance already absorbs
     rng = np.random.default_rng(7)
     d = 14
-    n = d * 18728
+    n = d * k
     blk = _blk(rng, n)
+    assert frontend_mxu._pick_p(k, d, True) == (32 if k == 18432 else 8)
     zi0, zq0 = pallas_frontend.capture_frontend_planar(blk, d, True)
     zi1, zq1 = frontend_mxu.capture_frontend_mm(blk, d, True)
     assert np.max(np.abs(np.asarray(zi1) - np.asarray(zi0))) < 5e-3
     assert np.max(np.abs(np.asarray(zq1) - np.asarray(zq0))) < 5e-3
+
+
+@pytest.mark.parametrize("k,p", [(32 * 128, 32),   # rows % tile_rows == 0
+                                 (32 * 200, 32),   # ragged: 200 % 128 != 0
+                                 (8 * 5, 8)])      # tiny single ragged tile
+def test_mm_pallas_interpret_matches_planar(k, p):
+    """The PRODUCTION TPU frontend (capture_frontend_planar dispatches to
+    capture_frontend_mm_pallas on TPU) exercised via the Pallas
+    interpreter so CPU CI covers the kernel: fused scale, grid masking,
+    ragged last tile (advisor finding, round 3)."""
+    rng = np.random.default_rng(17)
+    d = 14
+    blk = _blk(rng, d * k)
+    zi0, zq0 = pallas_frontend.capture_frontend_planar(blk, d, True)
+    zi1, zq1 = frontend_mxu.capture_frontend_mm_pallas(
+        blk, d, True, p=p, interpret=True)
+    assert zi1.shape == zi0.shape and zq1.shape == zq0.shape
+    tol = dict(rtol=2e-5, atol=5e-3)
+    np.testing.assert_allclose(zi1, zi0, **tol)
+    np.testing.assert_allclose(zq1, zq0, **tol)
 
 
 def test_pfb_filterbank_mxu_matches_conv():
