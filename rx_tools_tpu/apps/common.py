@@ -66,16 +66,17 @@ class maybe_profile:
         return False
 
 
-def verbose_device_search(query: str) -> Source:
+def verbose_device_search(query: str, wire_format: str = "CS16") -> Source:
     """``verbose_device_search`` (convenience.c:469-489).
 
     Source-construction failures (missing file, bad kwargs) exit with a
     clean message like the reference's "Failed to open..." path, not a
-    traceback.
+    traceback.  ``wire_format`` is forwarded to hardware sources
+    (rx_sdr's ``-I``; rtl_sdr.c:301 passes it to setupStream).
     """
     log("Acquired device with query: '%s'", query)
     try:
-        src = make_source(query)
+        src = make_source(query, wire_format=wire_format)
     except (OSError, ValueError, RuntimeError) as e:
         log("Failed to open source with query '%s': %s", query, e)
         raise SystemExit(1)

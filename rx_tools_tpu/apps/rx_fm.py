@@ -421,10 +421,17 @@ def main(argv=None) -> int:
             common.verbose_offset_tuning(src)
         if antenna:
             common.verbose_antenna_str_set(src, antenna)
-        if "rtlagc" in enables or "agc" in enables:
-            src.write_setting("digital_agc", "true")
-            log("Enabled digital AGC.")
         common.verbose_gain_str_set(src, gain_str)
+        # setGainMode called unconditionally with the -E rtlagc/agc flag,
+        # AFTER gain setup, exactly like the reference (rtl_fm.c:1432);
+        # success is only logged when the sink actually accepted it
+        rtlagc = "rtlagc" in enables or "agc" in enables
+        r = src.set_gain_mode(rtlagc)
+        if rtlagc:
+            if r == 0:
+                log("Enabled digital AGC.")
+            else:
+                log("WARNING: Failed to enable digital AGC.")
         common.verbose_ppm_set(src, ppm_error)
         if bandwidth > 0:
             common.verbose_set_bandwidth(src, bandwidth)

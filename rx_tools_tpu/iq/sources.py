@@ -93,6 +93,14 @@ class Source:
         self.frequency_correction = float(ppm)
         return 0
 
+    def set_gain_mode(self, automatic: bool) -> int:
+        """``SoapySDRDevice_setGainMode`` analog: the reference calls it
+        unconditionally with the ``-E rtlagc/agc`` flag (rtl_fm.c:1432).
+        Framework sources record the request; hardware sources override
+        with the real device call."""
+        self.settings["gain_mode"] = "true" if automatic else "false"
+        return 0
+
     def write_setting(self, key: str, value: str) -> int:
         self.settings[key] = value
         return 0
@@ -365,10 +373,14 @@ class SynthSource(Source):
         return n_elems, iq
 
 
-def make_source(query: str | dict) -> Source:
+def make_source(query: str | dict, wire_format: str = "CS16") -> Source:
     """``verbose_device_search`` analog (convenience.c:469-489).
 
     Accepts the ``-d`` query string (``key=val,...``) or a pre-parsed dict.
+    ``wire_format`` is the device stream format to request (rx_sdr's
+    ``-I``, ``rtl_sdr.c:138,301``); it reaches real SoapySDR hardware via
+    ``setupStream`` — framework sources always deliver the CS16 contract
+    and file sources take their format from the query instead.
     """
     kw = parse_kwargs(query) if isinstance(query, str) else dict(query)
     if "file" in kw:
@@ -397,7 +409,7 @@ def make_source(query: str | dict) -> Source:
         from rx_tools_tpu.iq import soapy
         qstr = query if isinstance(query, str) else ",".join(
             f"{k}={v}" for k, v in kw.items())
-        return soapy.SoapySource(qstr)
+        return soapy.SoapySource(qstr, wire_format=wire_format)
     # reference default: empty query = first available device
     return SynthSource({"synth": "noise", **kw})
 

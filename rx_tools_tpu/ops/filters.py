@@ -18,11 +18,14 @@
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def deemph_alpha(rate_out: int, time_constant_us: int) -> int:
@@ -47,6 +50,52 @@ def _iir_row_scan(b, c: float):
         b = b + np.float32(c ** s) * jnp.pad(b, pad)[..., :ll]
         s *= 2
     return b
+
+
+@functools.lru_cache(maxsize=16)
+def _scan_matrix(lanes: int, c: float) -> np.ndarray:
+    """(lanes, lanes) upper-triangular decay matrix: U[m, l] = c**(l-m)
+    for l >= m.  ``b_row @ U`` computes the inclusive first-order scan
+    ``S[l] = sum_{m<=l} c**(l-m) b[m]`` along the row — the whole in-row
+    scan as ONE MXU contraction instead of log2(lanes) shifted-add passes
+    over the data (each of which re-reads and re-writes the full array)."""
+    i = np.arange(lanes)
+    e = i[None, :] - i[:, None]
+    return np.where(e >= 0, np.float64(c) ** np.maximum(e, 0),
+                    0.0).astype(np.float32)
+
+
+def _iir_scan_flat_mxu(avg, b, c: float, lanes: int = 128):
+    """``y[n] = c*y[n-1] + b[n]`` (y[-1] = avg) over a flat stream, via a
+    triangular MXU matmul per 128-lane row plus a tiny row-carry scan.
+
+    Round-4 finding (tools/chipsuite13/14.py): the blocked Hillis-Steele
+    (:func:`_iir_scan_flat`) measured 5 GB/s at bench geometry — its
+    log2(block) shifted-add passes each traverse the whole array and the
+    shifts defeat XLA's tiling.  The same recurrence as ``bp @ U``
+    (U = ``_scan_matrix``) is one pass over the data on the MXU.  Same
+    math up to sum reassociation (the dot evaluates each prefix as a
+    fresh inner product), inside every golden tolerance.
+    """
+    k = b.shape[0]
+    r = -(-k // lanes)
+    bp = jnp.pad(b, (0, r * lanes - k)).reshape(r, lanes)
+    u = jnp.asarray(_scan_matrix(lanes, float(c)))
+    s_in = jax.lax.dot_general(bp, u, (((1,), (0,)), ((), ())),
+                               precision=_HI)            # (r, lanes)
+    cl = float(c) ** lanes
+    # row ends via a full-width masked reduce (a [:, -1] column slice
+    # lowers to a scalar loop on this backend — docs/PERF.md)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 1)
+    ends = jnp.sum(jnp.where(lane == lanes - 1, s_in, 0.0), axis=1)
+    ends_scan = _iir_row_scan(ends, cl)                  # (r,) inclusive
+    decay = jnp.asarray((np.float64(cl) ** np.arange(r)).astype(np.float32))
+    car = (jnp.concatenate([jnp.zeros((1,), b.dtype), ends_scan[:-1]])
+           + decay * avg)
+    cvec = jnp.asarray((np.float64(c) ** np.arange(1, lanes + 1)
+                        ).astype(np.float32))
+    y = (s_in + car[:, None] * cvec[None, :]).reshape(-1)[:k]
+    return y[-1], y
 
 
 def _iir_scan_flat(avg, b, c: float, block: int = 512):
@@ -89,6 +138,12 @@ def deemph_filter(avg, x, deemph_a: int, axis: int = 0):
     c = 1.0 - inv_a
     b = x * jnp.float32(inv_a)
     if x.ndim == 1:
+        if jax.default_backend() == "tpu":
+            # one triangular MXU matmul instead of log2(block) whole-array
+            # shifted-add passes: ~30x on the stage at bench geometry
+            # (chipsuite14); CPU keeps the Hillis-Steele form (golden
+            # semantics pinned there, and CPU has no MXU to feed)
+            return _iir_scan_flat_mxu(avg, b, c)
         return _iir_scan_flat(avg, b, c)
     # batched (C, M): scan along the minor axis directly
     m = x.shape[-1]

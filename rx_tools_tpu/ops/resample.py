@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,6 +91,37 @@ def resample_sinc(state: SincResampleState, x, fast: int, slow: int,
     new_num = state.num + n_valid * jnp.int32(fast) - consumed * jnp.int32(slow)
     return (SincResampleState(xp[-taps:], new_num.astype(jnp.int32)),
             y, n_valid)
+
+
+def _cumsum_mxu(x, lanes: int = 128):
+    """Inclusive cumsum over a flat float32 stream via a triangular MXU
+    matmul per 128-lane row + a tiny row-carry cumsum.
+
+    ``jnp.cumsum`` on this backend runs far below bandwidth on long
+    streams (round-3: ~35 GB/s; it was half the resampler's remaining
+    cost).  One pass over the data through the MXU instead
+    (filters._scan_matrix with c=1).  Reassociates sums (each prefix is
+    a fresh inner product) — same f32 error class as the log-depth scan.
+    """
+    from rx_tools_tpu.ops.filters import _scan_matrix
+    k = x.shape[0]
+    r = -(-k // lanes)
+    xp = jnp.pad(x, (0, r * lanes - k)).reshape(r, lanes)
+    u = jnp.asarray(_scan_matrix(lanes, 1.0))
+    s_in = jax.lax.dot_general(xp, u, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 1)
+    ends = jnp.sum(jnp.where(lane == lanes - 1, s_in, 0.0), axis=1)
+    car = jnp.cumsum(ends) - ends                        # exclusive (r,)
+    return (s_in + car[:, None]).reshape(-1)[:k]
+
+
+def _csum_flat(x):
+    """Inclusive cumsum dispatch: triangular-MXU blocks on TPU
+    (:func:`_cumsum_mxu`), ``jnp.cumsum`` elsewhere (CPU golden path)."""
+    if jax.default_backend() == "tpu":
+        return _cumsum_mxu(x)
+    return jnp.cumsum(x)
 
 
 def _pick_rows(v, idx, lanes: int = 128):
@@ -167,7 +199,7 @@ def resample_rational(state: ResampleState, x, fast: int, slow: int):
     crossings = c // fast                                # how many emits so far
     prev_crossings = jnp.concatenate([jnp.zeros(1, crossings.dtype), crossings[:-1]])
     emits = crossings > prev_crossings                   # sample j completes a window
-    csum = jnp.cumsum(x)
+    csum = _csum_flat(x)
     # k-th emission happens at the j where crossings first reaches k+1
     k = jnp.arange(cap)
     total_emits = crossings[-1]

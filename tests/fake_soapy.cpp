@@ -12,8 +12,14 @@
 //   driver=rtlsdr|hackrf|...   -> getDriverKey "RTLSDR"/"HackRF"/"FakeSDR"
 //   fail=make                  -> makeStrArgs returns NULL
 //   reject=<setting-key>       -> writeSetting/readSetting fail for key
+//   native=<FMT>               -> setupStream also accepts FMT (CS12/CU8/
+//                                 CS8/CF32) and readStream then serves the
+//                                 deterministic ramp in that wire format
+//                                 (the rx_sdr -I hardware path,
+//                                 rtl_sdr.c:301,348-391)
 // and via writeSetting:
 //   fake_overflow=<n>          -> the next n readStream calls return -4
+//   fake_gain_mode readback    -> setGainMode records "auto"/"manual"
 
 #include <cstdint>
 #include <cstdio>
@@ -229,6 +235,10 @@ int SoapySDRDevice_setGainElement(void *dev, const int dir, const size_t chan,
 
 int SoapySDRDevice_setGainMode(void *dev, const int dir, const size_t chan,
                                const bool automatic) {
+    // recorded so tests can assert -E rtlagc/agc reached the device
+    // (the reference's mechanism, rtl_fm.c:1432)
+    ((FakeDevice *)dev)->settings["fake_gain_mode"] =
+        automatic ? "auto" : "manual";
     return 0;
 }
 
@@ -270,11 +280,20 @@ char *SoapySDRDevice_readSetting(const void *dev, const char *key) {
     return strdup(it->second.c_str());
 }
 
+static bool format_ok(FakeDevice *d, const char *format) {
+    // CS16 always supported; plus the query-declared native format
+    // (real drivers advertise a format set; rx_sdr -I requests one,
+    // rtl_sdr.c:301)
+    if (strcmp(format, "CS16") == 0) return true;
+    std::string native = query_val(d->query, "native");
+    return !native.empty() && native == format;
+}
+
 #ifdef OLD_ABI
 int SoapySDRDevice_setupStream(void *dev, void **stream, const int dir,
                                const char *format, const size_t *channels,
                                const size_t numChans, const void *args) {
-    if (strcmp(format, "CS16") != 0) {
+    if (!format_ok((FakeDevice *)dev, format)) {
         set_error("fake: unsupported format");
         return -5;
     }
@@ -288,7 +307,7 @@ int SoapySDRDevice_setupStream(void *dev, void **stream, const int dir,
 void *SoapySDRDevice_setupStream(void *dev, const int dir, const char *format,
                                  const size_t *channels, const size_t numChans,
                                  const void *args) {
-    if (strcmp(format, "CS16") != 0) {
+    if (!format_ok((FakeDevice *)dev, format)) {
         set_error("fake: unsupported format");
         return nullptr;
     }
@@ -333,12 +352,49 @@ int SoapySDRDevice_readStream(void *dev, void *stream, void *const *buffs,
         return -4;  // OVERFLOW
     }
     // deterministic ramp keyed on the absolute sample counter so tests can
-    // verify sample continuity across reads
-    int16_t *out = (int16_t *)buffs[0];
-    for (size_t i = 0; i < numElems; ++i) {
-        long long k = d->sample_counter + (long long)i;
-        out[2 * i] = (int16_t)(k % 4096);
-        out[2 * i + 1] = (int16_t)(-(k % 4096));
+    // verify sample continuity across reads; served in the stream's wire
+    // format (the rx_sdr -I hardware path, rtl_sdr.c:348-391)
+    FakeStream *s = (FakeStream *)stream;
+    const std::string &fmt = s ? s->format : "CS16";
+    if (fmt == "CS12") {
+        uint8_t *out = (uint8_t *)buffs[0];
+        for (size_t i = 0; i < numElems; ++i) {
+            long long k = d->sample_counter + (long long)i;
+            unsigned i12 = (unsigned)(k & 0xFFF);
+            unsigned q12 = (unsigned)((~k) & 0xFFF);
+            out[3 * i + 0] = (uint8_t)(i12 & 0xFF);
+            out[3 * i + 1] = (uint8_t)(((i12 >> 8) & 0x0F)
+                                       | ((q12 & 0x0F) << 4));
+            out[3 * i + 2] = (uint8_t)((q12 >> 4) & 0xFF);
+        }
+    } else if (fmt == "CU8") {
+        uint8_t *out = (uint8_t *)buffs[0];
+        for (size_t i = 0; i < numElems; ++i) {
+            long long k = d->sample_counter + (long long)i;
+            out[2 * i] = (uint8_t)(k & 0xFF);
+            out[2 * i + 1] = (uint8_t)(255 - (k & 0xFF));
+        }
+    } else if (fmt == "CS8") {
+        int8_t *out = (int8_t *)buffs[0];
+        for (size_t i = 0; i < numElems; ++i) {
+            long long k = d->sample_counter + (long long)i;
+            out[2 * i] = (int8_t)(k % 127);
+            out[2 * i + 1] = (int8_t)(-(k % 127));
+        }
+    } else if (fmt == "CF32") {
+        float *out = (float *)buffs[0];
+        for (size_t i = 0; i < numElems; ++i) {
+            long long k = d->sample_counter + (long long)i;
+            out[2 * i] = (float)(k % 4096) / 32767.0f;
+            out[2 * i + 1] = -(float)(k % 4096) / 32767.0f;
+        }
+    } else {
+        int16_t *out = (int16_t *)buffs[0];
+        for (size_t i = 0; i < numElems; ++i) {
+            long long k = d->sample_counter + (long long)i;
+            out[2 * i] = (int16_t)(k % 4096);
+            out[2 * i + 1] = (int16_t)(-(k % 4096));
+        }
     }
     d->sample_counter += (long long)numElems;
     *flags = 0;

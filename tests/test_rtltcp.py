@@ -149,3 +149,19 @@ def test_bad_magic_rejected():
     with pytest.raises(ConnectionError, match="not an rtl_tcp server"):
         rtltcp.RtlTcpSource({"rtltcp": f"127.0.0.1:{port}"})
     t.join(timeout=5.0)
+
+
+def test_set_gain_mode_uses_agc_opcode():
+    """rx_fm -E rtlagc over rtl_tcp: set_gain_mode sends the native
+    CMD_SET_AGC_MODE opcode (round-3 verdict: the old digital_agc setting
+    write was dropped with an 'ignoring unsupported setting' log while the
+    CLI claimed success)."""
+    srv = MockRtlTcpServer(b"")
+    src = make_source({"driver": "rtltcp", "host": "127.0.0.1",
+                       "port": str(srv.port)})
+    assert src.set_gain_mode(True) == 0
+    assert src.set_gain_mode(False) == 0
+    src.close()
+    srv.join()
+    assert srv.commands == [(rtltcp.CMD_SET_AGC_MODE, 1),
+                            (rtltcp.CMD_SET_AGC_MODE, 0)]

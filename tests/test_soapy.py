@@ -269,3 +269,132 @@ def test_activation_chatter_suppressed_e2e(use_fake, tmp_path, capfdbinary,
     # the recorded bytes are the fake's deterministic ramp
     arr = np.frombuffer(cap.out, np.int16)
     assert arr[0] == 0 and arr[2] == 1
+
+
+# --- round-4: -I wire formats reach the hardware (rtl_sdr.c:138,176,301) ---
+
+def _cs12_ramp_bytes(start: int, n: int) -> np.ndarray:
+    """The fake device's CS12 wire bytes for samples [start, start+n)."""
+    k = np.arange(start, start + n, dtype=np.int64)
+    i12 = (k & 0xFFF).astype(np.uint32)
+    q12 = (~k & 0xFFF).astype(np.uint32)
+    out = np.empty(3 * n, np.uint8)
+    out[0::3] = i12 & 0xFF
+    out[1::3] = ((i12 >> 8) & 0x0F) | ((q12 & 0x0F) << 4)
+    out[2::3] = (q12 >> 4) & 0xFF
+    return out
+
+
+def test_wire_format_reaches_setup_stream(use_fake):
+    # a device whose driver does NOT advertise CS12 rejects the request —
+    # the -I format really reaches setupStream now
+    with pytest.raises(RuntimeError, match="setupStream failed"):
+        soapy.SoapySource("driver=rtlsdr", wire_format="CS12")
+    src = soapy.SoapySource("driver=rtlsdr,native=CS12", wire_format="CS12")
+    try:
+        assert src.wire_format == "CS12"
+        assert src._stream
+    finally:
+        src.close()
+
+
+@pytest.mark.parametrize("old", [False, True])
+def test_cs12_wire_read_raw_and_cs16_contract(request, old):
+    """Both setupStream ABIs deliver CS12 wire bytes; read_stream_raw
+    returns them verbatim and read_stream unpacks bit-exactly
+    (rtl_sdr.c:354-366)."""
+    request.getfixturevalue("use_fake_old" if old else "use_fake")
+    from rx_tools_tpu.iq import formats
+    src = soapy.SoapySource("driver=rtlsdr,native=CS12", wire_format="CS12")
+    try:
+        src.activate()
+        n, raw = src.read_stream_raw(512)
+        assert n == 512 and raw.dtype == np.uint8 and raw.size == 3 * 512
+        np.testing.assert_array_equal(raw, _cs12_ramp_bytes(0, 512))
+        n2, cs16 = src.read_stream(512)
+        assert n2 == 512 and cs16.dtype == np.int16
+        expect = np.asarray(formats.cs12_to_cs16(_cs12_ramp_bytes(512, 512)))
+        np.testing.assert_array_equal(cs16, expect)
+    finally:
+        src.close()
+
+
+def test_rx_sdr_dash_I_cs12_to_cs16_e2e(use_fake, capfdbinary, monkeypatch):
+    """rx_sdr -I CS12 -F CS16 against a native-CS12 fake radio: output is
+    the reference's bit-exact unpack of the wire bytes."""
+    from rx_tools_tpu.iq import formats
+    monkeypatch.setenv("RX_PLATFORM", "cpu")
+    from rx_tools_tpu.apps import rx_sdr
+    rc = rx_sdr.main(["-d", "driver=rtlsdr,native=CS12", "-f", "100M",
+                      "-I", "CS12", "-F", "CS16", "-n", "2048", "-"])
+    assert rc == 0
+    out = capfdbinary.readouterr().out
+    assert len(out) == 4 * 2048
+    expect = np.asarray(formats.cs12_to_cs16(_cs12_ramp_bytes(0, 2048)))
+    np.testing.assert_array_equal(np.frombuffer(out, np.int16), expect)
+
+
+def test_rx_sdr_dash_I_cu8_passthrough_e2e(use_fake, capfdbinary,
+                                           monkeypatch):
+    """rx_sdr -I CU8 -F CU8 (in == out): raw wire bytes pass through
+    byte-for-byte, no double conversion (rtl_sdr.c:348-353)."""
+    monkeypatch.setenv("RX_PLATFORM", "cpu")
+    from rx_tools_tpu.apps import rx_sdr
+    rc = rx_sdr.main(["-d", "driver=rtlsdr,native=CU8", "-f", "100M",
+                      "-I", "CU8", "-F", "CU8", "-n", "1024", "-"])
+    assert rc == 0
+    out = capfdbinary.readouterr().out
+    assert len(out) == 2 * 1024
+    k = np.arange(1024)
+    arr = np.frombuffer(out, np.uint8)
+    np.testing.assert_array_equal(arr[0::2], (k & 0xFF).astype(np.uint8))
+    np.testing.assert_array_equal(arr[1::2],
+                                  (255 - (k & 0xFF)).astype(np.uint8))
+
+
+def test_set_gain_mode_reaches_device(use_fake):
+    """-E rtlagc routes through SoapySDRDevice_setGainMode (rtl_fm.c:1432),
+    not a driver-private setting key."""
+    src = soapy.SoapySource("driver=rtlsdr")
+    try:
+        assert src.set_gain_mode(True) == 0
+        assert src.read_setting("fake_gain_mode") == "auto"
+        assert src.set_gain_mode(False) == 0
+        assert src.read_setting("fake_gain_mode") == "manual"
+    finally:
+        src.close()
+
+
+def test_rx_fm_agc_flag_calls_set_gain_mode(use_fake, monkeypatch, tmp_path):
+    """rx_fm -E agc reaches the device via setGainMode; without the flag
+    the mode is still set (to manual), matching the reference's
+    unconditional call (rtl_fm.c:1432)."""
+    calls = []
+    orig_sgm = soapy.SoapySource.set_gain_mode
+    orig_read = soapy.SoapySource.read_stream
+    reads = [0]
+
+    def spy(self, automatic):
+        calls.append(bool(automatic))
+        return orig_sgm(self, automatic)
+
+    def limited_read(self, n):
+        # the fake never EOFs; end the stream after a few blocks so
+        # rx_fm's main loop exits cleanly
+        if reads[0] >= 3:
+            return 0, np.empty(0, np.int16)
+        reads[0] += 1
+        return orig_read(self, n)
+
+    monkeypatch.setattr(soapy.SoapySource, "set_gain_mode", spy)
+    monkeypatch.setattr(soapy.SoapySource, "read_stream", limited_read)
+    monkeypatch.setenv("RX_PLATFORM", "cpu")
+    from rx_tools_tpu.apps import rx_fm
+    out = tmp_path / "a.pcm"
+    rx_fm.main(["-f", "100M", "-M", "fm", "-d", "driver=rtlsdr",
+                "-E", "agc", str(out)])
+    assert calls == [True]
+    calls.clear()
+    reads[0] = 0
+    rx_fm.main(["-f", "100M", "-M", "fm", "-d", "driver=rtlsdr", str(out)])
+    assert calls == [False]
