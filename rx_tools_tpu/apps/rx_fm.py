@@ -171,6 +171,7 @@ def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
     fmod = resampler_modulus(cfg)
     done = 0                      # global blocks emitted so far
     tail_halo = None              # trailing `warmup` blocks of prev chunk
+    iir_carry = None              # exact (deemph avg, resamp acc) carry
     st = None                     # carried state once on the scan path
     logged = False
 
@@ -185,14 +186,19 @@ def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
             blocks = iq.reshape(s * m, 2 * bs)
             sharded = jnp.asarray(blocks.reshape(s, m, -1))
             if tail_halo is None:
-                audio, n_valid = time_sharded_fm(
+                audio, n_valid, carry = time_sharded_fm(
                     cfg, sharded, mesh=mesh, warmup=warmup)
             else:
-                audio, n_valid = time_sharded_fm(
+                # iir_carry = the last shard's exact (deemph avg, resampler
+                # remainder) from the previous super-chunk, so even
+                # super-chunk seams are exact on eligible configs
+                audio, n_valid, carry = time_sharded_fm(
                     cfg, sharded, mesh=mesh, warmup=warmup, cont=True,
                     halo0=jnp.asarray(tail_halo),
-                    block_offset_mod=jnp.int32(done % fmod))
-            audio, n_valid = jax.device_get((audio, n_valid))
+                    block_offset_mod=jnp.int32(done % fmod),
+                    iir_carry=iir_carry)
+            audio, n_valid, carry = jax.device_get((audio, n_valid, carry))
+            iir_carry = jnp.asarray(carry[-1])
             for sh in range(s):
                 for i in range(m):
                     pcm = fmchain.audio_to_int16(
@@ -218,6 +224,17 @@ def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
             if done:                    # halo warm-up from the prev chunk
                 st, _, _, _ = scan_fm_blocks(cfg, st,
                                              jnp.asarray(tail_halo))
+                if iir_carry is not None:
+                    from rx_tools_tpu.parallel.timeshard import (
+                        exact_iir_supported)
+                    if exact_iir_supported(cfg):
+                        # exact IIR seam: override the warm-up approximated
+                        # deemph avg / window remainder with the sharded
+                        # run's exact carry
+                        st = st._replace(
+                            deemph_avg=jnp.float32(iir_carry[0]),
+                            resamp=st.resamp._replace(
+                                acc=jnp.float32(iir_carry[1])))
         # fixed-size sub-chunks: the traced block loop unrolls, so shapes
         # must stay small and few (at most 2 compiled variants here)
         TAIL = 8

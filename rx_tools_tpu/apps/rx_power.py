@@ -63,7 +63,8 @@ Use:\trx_power -f freq_range [-options] [filename]
 \t[--resume path  restore accumulators from a snapshot]
 \t[--int-fft  bit-exact integer fidelity tier: the reference's fix_fft
 \t (Q14 rounding, per-stage >>1, int16 wraps) runs on device and the CSV
-\t matches the C binary bit-for-bit (boxcar path, single process)]
+\t matches the C binary bit-for-bit (boxcar path; composes with
+\t multi-process sweeps, -t device sharding and --checkpoint)]
 
 CSV FFT output columns:
 \tdate, time, Hz low, Hz high, Hz step, samples, dbm, dbm, ...
@@ -232,20 +233,17 @@ def main(argv=None) -> int:
     # mirrors what the -A lut tier does for rx_fm: the C scanner's integer
     # quirks run on device (ops/intfft.py), int64 accumulation on host, CSV
     # bit-identical to the reference binary (rtl_power.c:714-770)
+    # Round-4: the bit-exact tier rides the full parallel feature set —
+    # multi-process sweep division (hops partitioned by process_index,
+    # int64 accumulators gathered exactly via two-uint32 planes), -t
+    # hop-axis device sharding (shard_map, zero collectives), and
+    # checkpoint/resume — no longer mutually exclusive with scaling.
     iavg = isamples = None
     if int_fft:
         if not boxcar:
             log("--int-fft supports the boxcar decimation path only "
                 "(drop -F).")
             return 1
-        if n_proc > 1:
-            log("--int-fft is single-process (exact int64 accumulators "
-                "don't ride the f32 collective path).")
-            return 1
-        if checkpoint_path or resume_path:
-            log("--int-fft does not support checkpointing yet.")
-            return 1
-        dev_parallel = 1      # device work IS the batched bit-exact scanner
         if cfg.bin_e > 0:
             try:    # shape/overflow validation (and compile warm-up)
                 powerscan.int_sweep_powers(
@@ -253,8 +251,8 @@ def main(argv=None) -> int:
             except ValueError as e:
                 log("%s", str(e))
                 return 1
-        iavg = np.zeros((len(tunes), cfg.bin_len), np.int64)
-        isamples = np.zeros(len(tunes), np.int64)
+        else:
+            dev_parallel = 1  # giant-bin path accumulates host-side
 
     # --- hop-axis sharding over the local mesh (SURVEY.md §2.6) ------------
     # every device integrates its own hops' FFTs; the only cross-device
@@ -277,6 +275,11 @@ def main(argv=None) -> int:
             len(my_tunes), n_mesh, h_pad)
 
     acc = powerscan.new_sweep_accum(h_pad, cfg)
+    if int_fft:
+        # per-process int64 accumulators, padded to the mesh multiple so
+        # the sharded device step and the exact allgather see uniform rows
+        iavg = np.zeros((h_pad, cfg.bin_len), np.int64)
+        isamples = np.zeros(h_pad, np.int64)
 
     # --- checkpoint/resume of the integration accumulators -----------------
     # the reference loses at most one -i interval on a kill (append-only CSV,
@@ -284,7 +287,8 @@ def main(argv=None) -> int:
     if resume_path and checkpoint_path is None:
         checkpoint_path = resume_path
     ckpt_meta = {"h_pad": h_pad, "bin_e": cfg.bin_e, "buf_len": cfg.buf_len,
-                 "n_tunes": len(tunes), "n_proc": n_proc, "pid": pid}
+                 "n_tunes": len(tunes), "n_proc": n_proc, "pid": pid,
+                 "int_fft": bool(int_fft)}
     if resume_path:
         import os
         from rx_tools_tpu.stream.checkpoint import load_checkpoint, read_meta
@@ -297,9 +301,17 @@ def main(argv=None) -> int:
                 log("resume: checkpoint plan %s does not match current "
                     "sweep plan %s (different flags?)", meta, ckpt_meta)
                 return 1
-            acc, _ = load_checkpoint(resume_path, acc)
-            log("Resumed integration (%d samples accumulated).",
-                int(np.max(np.asarray(acc.samples))))
+            if int_fft:
+                loaded, _ = load_checkpoint(
+                    resume_path, powerscan.SweepAccum(iavg, isamples))
+                iavg = np.asarray(loaded.avg, np.int64)
+                isamples = np.asarray(loaded.samples, np.int64)
+                log("Resumed integration (%d samples accumulated).",
+                    int(isamples.max(initial=0)))
+            else:
+                acc, _ = load_checkpoint(resume_path, acc)
+                log("Resumed integration (%d samples accumulated).",
+                    int(np.max(np.asarray(acc.samples))))
 
     def save_ckpt(a):
         if checkpoint_path is None:
@@ -349,19 +361,27 @@ def main(argv=None) -> int:
                                           else iavg[i, 0] + p)
                             isamples[i] += 1
                     else:
-                        p = np.asarray(powerscan.int_sweep_powers(
-                            cfg, blocks[: len(my_tunes)]), np.int64)
-                        if peak_hold:
-                            iavg = np.maximum(iavg, p.max(axis=1))
+                        if mesh is not None:
+                            from rx_tools_tpu.parallel.hopshard import (
+                                int_hop_sharded)
+                            p = np.asarray(
+                                int_hop_sharded(cfg, blocks, mesh), np.int64)
                         else:
-                            iavg += p.sum(axis=1)
-                        isamples += p.shape[1] * cfg.downsample
+                            p = np.asarray(powerscan.int_sweep_powers(
+                                cfg, blocks[: len(my_tunes)]), np.int64)
+                        h = p.shape[0]
+                        if peak_hold:
+                            iavg[:h] = np.maximum(iavg[:h], p.max(axis=1))
+                        else:
+                            iavg[:h] += p.sum(axis=1)
+                        isamples[:h] += p.shape[1] * cfg.downsample
                 elif mesh is not None:
                     from rx_tools_tpu.parallel import hop_sharded_sweep
                     acc = hop_sharded_sweep(cfg, acc, blocks, mesh)
                 else:
                     acc = powerscan.sweep_step(cfg, acc, blocks)
-                save_ckpt(acc)
+                save_ckpt(powerscan.SweepAccum(iavg, isamples)
+                          if int_fft else acc)
             now = time.time()
             want_flush = bool(now >= next_tick or single or bail[0])
             want_stop = bool(single or bail[0]
@@ -377,9 +397,11 @@ def main(argv=None) -> int:
             if want_flush:
                 if int_fft:
                     _flush_csv(out, tunes, cfg,
-                               powerscan.SweepAccum(iavg, isamples), h_pad)
+                               powerscan.SweepAccum(iavg, isamples), h_pad,
+                               hops_per_proc=hops_per_proc)
                     iavg[:] = 0
                     isamples[:] = 0
+                    save_ckpt(powerscan.SweepAccum(iavg, isamples))
                 else:
                     acc = _flush_csv(out, tunes, cfg, acc, h_pad,
                                      hops_per_proc=hops_per_proc)
@@ -420,10 +442,15 @@ def _flush_csv(out, tunes, cfg, acc, h_pad=None, hops_per_proc=None):
     samples = np.asarray(acc.samples)
     if multihost.process_count() > 1:
         # stitch the partitioned sweep: process p owns the contiguous hop
-        # slice [p*hops_per_proc, (p+1)*hops_per_proc); gather and flatten
+        # slice [p*hops_per_proc, (p+1)*hops_per_proc); gather and flatten.
+        # int64 accumulators (--int-fft) ride the two-uint32-plane gather:
+        # the f32 collective path would silently narrow them (bit-exactness
+        # at any magnitude is the tier's contract)
         per = hops_per_proc
-        avg = multihost.allgather(avg[:per]).reshape(-1, avg.shape[-1])
-        samples = multihost.allgather(samples[:per]).reshape(-1)
+        gather = (multihost.allgather_exact_i64
+                  if avg.dtype == np.int64 else multihost.allgather)
+        avg = gather(avg[:per]).reshape(-1, avg.shape[-1])
+        samples = gather(samples[:per]).reshape(-1)
     stamp = time.strftime("%Y-%m-%d, %H:%M:%S")
     lines = []
     for i, t in enumerate(tunes):

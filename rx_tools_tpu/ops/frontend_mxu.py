@@ -180,6 +180,57 @@ def capture_frontend_mm_pallas(block_i16, downsample: int,
     return out[:, :p].reshape(-1), out[:, p:].reshape(-1)
 
 
+def _mm_kernel2(x_ref, mi_ref, mq_ref, oi_ref, oq_ref, *, scale: float):
+    v = x_ref[:].astype(jnp.float32) * scale
+    oi_ref[:] = jnp.dot(v, mi_ref[:], precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    oq_ref[:] = jnp.dot(v, mq_ref[:], precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+
+
+def capture_frontend_mm_pallas2(block_i16, downsample: int,
+                                rotate: bool = True, p: int = 32,
+                                tile_rows: int = 256,
+                                interpret: bool = False):
+    """Two-output twin of :func:`capture_frontend_mm_pallas`: the kernel
+    writes the Re and Im planes as SEPARATE (rows, P) arrays, so the
+    planar streams are plain row-major reshapes of whole outputs instead
+    of ``out[:, :P]`` column-block slices (a relayout copy each).
+    Semantics identical; round-4 A/B candidate (tools/chipsuite15.py).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = int(downsample)
+    k = block_i16.shape[0] // (2 * d)
+    assert k % p == 0, (k, p)
+    rows = k // p
+    x = block_i16.reshape(rows, p * 2 * d)
+    m = np.asarray(_fs4_decim_matrix(d, p, bool(rotate)))
+    mi, mq = jnp.asarray(m[:, :p]), jnp.asarray(m[:, p:])
+    t = min(tile_rows, rows)
+    grid = (rows + t - 1) // t
+    kern = functools.partial(_mm_kernel2, scale=float(_SCALE))
+    oi, oq = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((t, p * 2 * d), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((p * 2 * d, p), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((p * 2 * d, p), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((t, p), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((t, p), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((rows, p), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, p), jnp.float32)],
+        interpret=interpret,
+    )(x, mi, mq)
+    return oi.reshape(-1), oq.reshape(-1)
+
+
 def capture_frontend_t2(block_i16, downsample: int, rotate: bool = True,
                         precision=_HI):
     """``(2N,) int16 -> ((K,), (K,)) float32`` planar, thin-matmul variant.

@@ -66,3 +66,27 @@ def _sharded_fn(cfg: powerscan.PowerConfig, mesh: Mesh):
         local, mesh=mesh,
         in_specs=(P("h", None), P("h"), P("h", None)),
         out_specs=(P("h", None), P("h"))))
+
+
+def int_hop_sharded(cfg: powerscan.PowerConfig, blocks, mesh: Mesh):
+    """``--int-fft`` hop sharding: each device runs the bit-exact integer
+    scanner (``powerscan.int_sweep_powers``) on its own hop rows — zero
+    collectives, exactly like the float path — and the host accumulates
+    the gathered (H, segs, bin_len) int32 powers into int64.
+
+    ``blocks``: (H, buf_len) int16, H divisible by mesh size.  Integer
+    outputs are deterministic per hop, so sharded == unsharded
+    bit-for-bit (tested in tests/test_parallel.py round-4)."""
+    blocks = jax.device_put(blocks, NamedSharding(mesh, P("h", None)))
+    return _int_sharded_fn(cfg, mesh)(blocks)
+
+
+@functools.lru_cache(maxsize=64)
+def _int_sharded_fn(cfg: powerscan.PowerConfig, mesh: Mesh):
+    def local(blk):
+        return powerscan.int_sweep_powers(cfg, blk)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("h", None),),
+        out_specs=P("h", None, None)))

@@ -90,6 +90,26 @@ def allgather(arr):
     return np.asarray(multihost_utils.process_allgather(arr, tiled=False))
 
 
+def allgather_exact_i64(arr):
+    """int64-exact cross-process gather: (P, *arr.shape).
+
+    ``process_allgather`` rides jax arrays, and with x64 disabled an int64
+    operand would silently narrow to int32 — fatal for the ``--int-fft``
+    accumulators (|X|^2 sums legitimately exceed 2^31).  Split into two
+    uint32 planes, gather, reassemble: bit-exact at any accumulator
+    magnitude.  Single-process: ``arr[None]`` untouched."""
+    import numpy as np
+    a = np.asarray(arr, np.int64)
+    if jax.process_count() == 1:
+        return a[None]
+    u = a.view(np.uint64)
+    lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (u >> np.uint64(32)).astype(np.uint32)
+    glo = allgather(lo).astype(np.uint64)
+    ghi = allgather(hi).astype(np.uint64)
+    return ((ghi << np.uint64(32)) | glo).view(np.int64)
+
+
 def broadcast_flags(flags):
     """Broadcast a small int array from the primary to every process.
 

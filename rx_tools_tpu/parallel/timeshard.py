@@ -14,15 +14,28 @@ Boundary semantics (documented per SURVEY.md §7 "hard parts"):
 - FIR state (fifth-order hists, droop hist, discriminator seam, boxcar
   accumulator) is fully determined by the last few *input* samples, so one
   warm-up block makes shard outputs **exactly** equal to the unsharded run.
-- IIR state (deemphasis average, DC-block average) has infinite memory; it
-  converges geometrically (deemph time constant 75/50 us; DC pole
-  ``9/10`` per block), so ``warmup`` blocks leave a transient bounded by
-  ``(9/10)**warmup`` of the DC offset — SNR-equivalent, tested in
-  ``tests/test_parallel.py``.
+- Deemphasis (round-4): the one-pole IIR is *linear*, so its cross-shard
+  state is carried **exactly** without any sequential dependency: each
+  shard computes its deemph-from-zero outputs ``y0`` locally; the
+  from-zero end state ``B = y0[-1]`` (and the state at its halo cut,
+  ``y0[Lpart-1]``) are all_gathered — S pairs of scalars — and the true
+  initial state of every shard follows from the affine recurrence
+  ``init_s = B_{s-1} + c^L * init_{s-1}`` evaluated in a static loop.
+  The correction ``y = y0 + init_s * c^(n+1)`` is exact (same algebra
+  ``ops.filters._iir_scan_flat`` uses within a chunk): sharded output ==
+  unsharded output to float rounding, no warm-up transient, asserted on
+  ALL shards with no skip window in ``tests/test_parallel.py``.
 - The rational resampler's fractional phase at a shard boundary is
   *deterministic* for aligned blocks (``phase_s = (samples_before * slow)
-  % fast``) and is seeded analytically, so every shard emits on the global
-  output grid (no drift at seams).
+  % fast``) and is seeded analytically; its carried window remainder
+  (``now_lpr``) is recovered exactly by replaying the halo's audio through
+  the resampler with the halo-start phase (the partial window never spans
+  more than ~fast/slow samples, far less than one halo block).
+- DC-block averages (``-E dc``/``-E rdc``) remain warm-up approximated
+  (transient bounded by ``(9/10)**warmup`` per block): the raw EMA feeds
+  the *nonlinear* discriminator so no post-hoc linear correction exists;
+  configs with DC blocks take the legacy warm-up path
+  (:func:`exact_iir_supported` gates).
 
 Shard 0's left halo is zeros and its warm-up output is discarded like every
 other shard's — since the unsharded run also starts from zero state, shard
@@ -62,13 +75,28 @@ def _resampler_phase(cfg: fmchain.FmConfig, audio_in_before: int):
     return (audio_in_before * slow) % fast
 
 
+def exact_iir_supported(cfg: fmchain.FmConfig) -> bool:
+    """Configs whose shard boundaries are EXACT (see module docstring):
+    the only cross-shard IIR state is the linear deemph average and the
+    resampler window remainder, both carried in closed form.  DC-block
+    EMAs feed the nonlinear discriminator / have block-mean coupling and
+    stay on the legacy warm-up path."""
+    return (not cfg.dc_block_audio and not cfg.dc_block_raw
+            and cfg.mode in ("fm", "am", "usb", "lsb")
+            and (cfg.deemph_a > 0 or cfg.rate_out2 > 0))
+
+
 @partial(jax.jit, static_argnames=("cfg", "mesh", "warmup", "cont"))
 def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
                     warmup: int = 2, cont: bool = False, halo0=None,
-                    block_offset_mod=None):
+                    block_offset_mod=None, iir_carry=None):
     """Process (S, M, 2N) int16 blocks, S sharded over ``mesh`` axis ``t``.
 
-    Returns ``(audio (S, M, cap), n_valid (S, M))`` with the same sharding.
+    Returns ``(audio (S, M, cap), n_valid (S, M), carry (S, 2))`` with the
+    same sharding; ``carry[s] = [deemph_avg_end, resampler_acc_end]`` of
+    shard ``s`` (exact-path configs; zeros otherwise) — a continuation
+    super-chunk passes ``iir_carry = carry_prev[-1]`` so even the
+    super-chunk seams are exact.
     Each shard's first ``warmup`` blocks of *output* correspond to its
     warm-up replay of the left neighbour's data and are already dropped:
     outputs are aligned to the shard's own M blocks.
@@ -84,6 +112,11 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
     grid.  Shapes are identical across super-chunks, so the whole run
     compiles exactly twice (first chunk, continuation chunks).
     """
+    import dataclasses
+
+    from rx_tools_tpu import ops
+    from rx_tools_tpu.ops.resample import ResampleState, resample_rational
+
     s, m, twon = sharded_blocks.shape
     block_size = twon // 2
     if cfg.rate_out2 > 0:
@@ -93,17 +126,31 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
     else:
         fast, slow = 1, 0
     audio_per_block = block_size // cfg.downsample // cfg.post_downsample
+    apb = audio_per_block
     if not cont:
         halo0 = jnp.zeros((warmup, twon), sharded_blocks.dtype)
         block_offset_mod = jnp.int32(0)
+    if iir_carry is None:
+        iir_carry = jnp.zeros((2,), jnp.float32)
+    exact = exact_iir_supported(cfg)
+    # front chain for the exact path: everything up to (and excluding) the
+    # deemph/resampler tail, which is applied shard-flat with the exact
+    # closed-form state below
+    cfg_front = (dataclasses.replace(cfg, deemph_a=0, rate_out2=-1)
+                 if exact else cfg)
 
-    def per_shard(blocks, halo0, off_mod):
-        # blocks: (1, M, 2N) local slice; halo0/off_mod replicated
+    def _varying(a):
+        if "t" in getattr(jax.typeof(a), "vma", ()):
+            return a
+        return jax.lax.pcast(a, ("t",), to="varying")
+
+    def per_shard(blocks, halo0, off_mod, carry_in):
+        # blocks: (1, M, 2N) local slice; halo0/off_mod/carry_in replicated
         blocks = blocks[0]
         idx = jax.lax.axis_index("t")
+        n_dev = jax.lax.axis_size("t")
         # --- halo: trailing `warmup` blocks from the left neighbour -------
         halo = blocks[-warmup:]
-        n_dev = jax.lax.axis_size("t")
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         halo = jax.lax.ppermute(halo, "t", perm)
         left0 = halo0 if cont else jnp.zeros_like(halo)
@@ -111,47 +158,132 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
 
         # --- seed state: zero + analytic resampler phase ------------------
         # mod is taken factor-by-factor so int32 arithmetic cannot overflow
-        # for arbitrarily long recordings.
-        st = fmchain.init_state(cfg)
+        # for arbitrarily long recordings.  phase0 = phase at HALO start.
+        st = fmchain.init_state(cfg_front)
         f = max(fast, 1)
         start_block = off_mod + idx * m - warmup
-        phase0 = (((start_block % f) * (audio_per_block % f)) % f * (slow % f)) % f
+        phase0 = (((start_block % f) * (apb % f)) % f * (slow % f)) % f
         if not cont:
             phase0 = jnp.where(idx == 0, 0, phase0)
-        st = st._replace(resamp=st.resamp._replace(
-            phase=phase0.astype(jnp.int32)))
+        if not exact:
+            st = st._replace(resamp=st.resamp._replace(
+                phase=phase0.astype(jnp.int32)))
 
         # the carry differs per device from step 1 on: mark it varying
-        def _varying(a):
-            if "t" in getattr(jax.typeof(a), "vma", ()):
-                return a
-            return jax.lax.pcast(a, ("t",), to="varying")
         st = jax.tree.map(_varying, st)
         # Traced Python loops with static block indices, not lax.scan:
         # rolled-scan dynamic-slices cost ~1.6 ms per MB-sized block read on
         # TPU (see stream/scan.py, docs/PERF.md "the dynamic-slice cliff").
-        # warm-up replay (outputs discarded)
+        # warm-up replay (restores FIR/discriminator/squelch state exactly;
+        # on the exact path its front audio also feeds the resampler-acc
+        # recovery below)
+        halo_audio = []
         for i in range(halo.shape[0]):
-            st, _, _, _ = fmchain.fm_chain_step_impl(cfg, st, halo[i])
+            st, a, _, _ = fmchain.fm_chain_step_impl(cfg_front, st, halo[i])
+            halo_audio.append(a)
         if not cont:
             # shard 0 replayed zeros; reset its IIR/seam state back to init
-            fresh = fmchain.init_state(cfg)
+            fresh = fmchain.init_state(cfg_front)
             st = jax.tree.map(
-                lambda warmed, f: jnp.where(idx == 0, f, warmed), st, fresh)
+                lambda warmed, fr: jnp.where(idx == 0, fr, warmed), st, fresh)
         audio, n_valid = [], []
         for i in range(blocks.shape[0]):
-            st, a, nv, _ = fmchain.fm_chain_step_impl(cfg, st, blocks[i])
+            st, a, nv, _ = fmchain.fm_chain_step_impl(cfg_front, st, blocks[i])
             audio.append(a)
             n_valid.append(nv)
-        audio = jnp.stack(audio)
-        n_valid = jnp.stack(n_valid)
-        return audio[None], n_valid[None]
+        if not exact:
+            return (jnp.stack(audio)[None], jnp.stack(n_valid)[None],
+                    jnp.zeros((1, 2), jnp.float32))
+
+        # --- exact linear tail: deemph + rational resampler ---------------
+        x = jnp.concatenate(audio)                     # (L,) own front audio
+        xh = jnp.concatenate(halo_audio)               # (Lh,) halo's
+        l_own = m * apb
+        l_part = (m - warmup) * apb
+        carry_avg, carry_acc = carry_in[0], carry_in[1]
+
+        if cfg.deemph_a:
+            inv_a = 1.0 / cfg.deemph_a
+            c = 1.0 - inv_a
+            # deemph from ZERO state: y0[n] already IS the from-zero state
+            # after n+1 samples, so B_full = y0[-1] and the state at the
+            # halo cut is y0[l_part-1] — no extra passes needed
+            _, y0 = ops.deemph_filter(
+                jnp.zeros((), jnp.float32), x, cfg.deemph_a)
+            lane = jnp.arange(l_own)
+            b_full = jnp.sum(jnp.where(lane == l_own - 1, y0, 0.0))
+            b_part = (jnp.sum(jnp.where(lane == l_part - 1, y0, 0.0))
+                      if l_part > 0 else jnp.zeros(()))
+            gat = jax.lax.all_gather(
+                jnp.stack([b_part, b_full]).astype(jnp.float32), "t")  # (S,2)
+            a_full = np.float32(np.float64(c) ** l_own)
+            a_part = np.float32(np.float64(c) ** l_part)
+            # static cross-shard scan of the affine recurrence
+            inits = [carry_avg if cont else jnp.zeros(())]
+            halo_inits = [jnp.zeros(())]       # shard 0's halo unused
+            for k in range(1, n_dev):
+                inits.append(gat[k - 1, 1] + a_full * inits[k - 1])
+                halo_inits.append(gat[k - 1, 0] + a_part * inits[k - 1])
+            init_own = jnp.stack(inits)[idx]
+            init_halo = jnp.stack(halo_inits)[idx]
+            cvec = jnp.asarray((np.float64(c) **
+                                np.arange(1, l_own + 1)).astype(np.float32))
+            y = y0 + init_own * cvec
+            avg_end = gat[idx, 1] + a_full * init_own
+            # halo audio through deemph with ITS exact initial state (only
+            # the trailing partial resampler window of yh is consumed)
+            if cfg.rate_out2 > 0:
+                _, yh = ops.deemph_filter(
+                    jnp.zeros((), jnp.float32), xh, cfg.deemph_a)
+                lh = xh.shape[0]
+                cvech = jnp.asarray((np.float64(c) **
+                                     np.arange(1, lh + 1)).astype(np.float32))
+                yh = yh + init_halo * cvech
+            else:
+                yh = xh
+        else:
+            y, yh = x, xh
+            avg_end = jnp.zeros(())
+
+        if cfg.rate_out2 > 0:
+            # resampler window remainder recovered exactly from the halo:
+            # replay its audio with the halo-start phase; the returned acc
+            # is the true partial-window sum at the shard boundary
+            st_r0 = ResampleState(jnp.zeros((), jnp.float32),
+                                  phase0.astype(jnp.int32))
+            st_rh, _, _ = resample_rational(st_r0, yh,
+                                            cfg.rate_out, cfg.rate_out2)
+            own_phase = jnp.where(idx == 0 if not cont else False,
+                                  jnp.int32(0), st_rh.phase)
+            acc0 = st_rh.acc
+            if cont:
+                acc0 = jnp.where(idx == 0, carry_acc, acc0)
+            else:
+                acc0 = jnp.where(idx == 0, 0.0, acc0)
+            st_r = ResampleState(acc0.astype(jnp.float32), own_phase)
+            out_a, out_nv = [], []
+            for i in range(m):
+                st_r, yo, nv = resample_rational(
+                    st_r, jax.lax.slice(y, (i * apb,), ((i + 1) * apb,)),
+                    cfg.rate_out, cfg.rate_out2)
+                out_a.append(yo)
+                out_nv.append(nv)
+            acc_end = st_r.acc
+        else:
+            out_a = [jax.lax.slice(y, (i * apb,), ((i + 1) * apb,))
+                     for i in range(m)]
+            out_nv = [jnp.int32(apb)] * m
+            acc_end = jnp.zeros(())
+        carry = jnp.stack([avg_end.astype(jnp.float32),
+                           acc_end.astype(jnp.float32)])
+        return (jnp.stack(out_a)[None], jnp.stack(out_nv)[None], carry[None])
 
     spec = P("t", None, None)
     fn = jax.shard_map(per_shard, mesh=mesh,
-                       in_specs=(spec, P(None, None), P()),
-                       out_specs=(P("t", None, None), P("t", None)))
-    return fn(sharded_blocks, halo0, block_offset_mod)
+                       in_specs=(spec, P(None, None), P(), P()),
+                       out_specs=(P("t", None, None), P("t", None),
+                                  P("t", None)))
+    return fn(sharded_blocks, halo0, block_offset_mod, iir_carry)
 
 
 def resampler_modulus(cfg: fmchain.FmConfig) -> int:

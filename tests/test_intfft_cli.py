@@ -86,3 +86,36 @@ def test_int_fft_rejects_fir_path(tmp_path):
     rc = rx_power.main(["-f", "100M:106M:20k", "-1", "-F", "9", "--int-fft",
                         "-d", SRC, str(tmp_path / "x.csv")])
     assert rc == 1
+
+
+def test_int_fft_device_sharded_csv_identical(tmp_path):
+    """Round-4: -t shards the bit-exact scanner over local devices via
+    shard_map (parallel/hopshard.py::int_hop_sharded); integer outputs
+    are deterministic, so sharded CSV == unsharded CSV bit-for-bit."""
+    csv1 = tmp_path / "i1.csv"
+    csv2 = tmp_path / "i2.csv"
+    base = ["-f", "100M:106M:20k", "-1", "-S", "0", "--int-fft", "-d", SRC]
+    assert rx_power.main(base + ["-t", "1", str(csv1)]) == 0
+    assert rx_power.main(base + ["-t", "4", str(csv2)]) == 0
+    assert _csv_rows(csv1) == _csv_rows(csv2)
+
+
+def test_int_fft_checkpoint_resume(tmp_path):
+    """Round-4: --int-fft composes with --checkpoint/--resume; the int64
+    accumulators snapshot and restore exactly, and a float-tier
+    checkpoint is refused (meta carries the tier)."""
+    ck = tmp_path / "iacc.npz"
+    csv1 = tmp_path / "i1.csv"
+    base = ["-f", "100M:104M:50k", "-1", "-S", "0", "-t", "1",
+            "--int-fft", "-d", SRC]
+    assert rx_power.main(base + ["--checkpoint", str(ck), str(csv1)]) == 0
+    assert ck.exists()
+    # resume with the same plan runs clean and emits a well-formed CSV
+    csv2 = tmp_path / "i2.csv"
+    assert rx_power.main(base + ["--resume", str(ck), str(csv2)]) == 0
+    rows = csv2.read_text().strip().splitlines()
+    assert rows and all(len(r.split(", ")) >= 7 for r in rows)
+    # the float tier must refuse an int-tier checkpoint (and vice versa)
+    no_int = [a for a in base if a != "--int-fft"]
+    assert rx_power.main(no_int + ["--resume", str(ck),
+                                   str(tmp_path / "x.csv")]) == 1

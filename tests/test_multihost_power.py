@@ -163,3 +163,21 @@ def test_two_process_sweep_scaling(tmp_path):
             pytest.skip(f"host too loaded for a wall-clock scaling "
                         f"comparison (load {load:.1f} on {ncpu} cpus)")
     assert speedup > 1.2, f"no multi-process speedup: {speedup:.2f}x"
+
+
+def test_two_process_intfft_csv_identical(tmp_path):
+    """Round-4: --int-fft composes with multi-process sweep division —
+    2-process CSV == 1-process CSV bit-for-bit (the int64 accumulators
+    ride the two-uint32-plane exact gather, parallel/multihost.py)."""
+    src = ("synth=tone,det=1,noise=0.01,seed=5,"
+           "carrier=91M|93.5M|96M,amp=0.5|0.3|0.2")
+    csv1 = tmp_path / "isingle.csv"
+    csv2 = tmp_path / "imulti.csv"
+    argv = ["-f", "90M:98M:125k", "-1", "-t", "1", "-S", "0",
+            "--int-fft", "-d", src]
+    _run_power(argv + [str(csv1)], tmp_path, 1, "int-single")
+    _, err = _run_power(argv + [str(csv2)], tmp_path, 2, "int-multi")
+    assert "Multi-process sweep: process 0/2 owns hops 0..1 of 3" in err
+    body1, body2 = _csv_body(csv1), _csv_body(csv2)
+    assert len(body1) == 3
+    assert body1 == body2                 # bit-identical (integer tier)

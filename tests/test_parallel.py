@@ -36,8 +36,8 @@ def test_time_sharded_matches_unsharded():
     iq, n = _recording(cfg)
     mesh = make_mesh(S, axis="t")
     sharded = shard_recording(iq, S, n)              # (S, M, 2n)
-    audio_sh, nv_sh = time_sharded_fm(cfg, jnp.asarray(sharded),
-                                      mesh=mesh, warmup=WARMUP)
+    audio_sh, nv_sh, carry = time_sharded_fm(cfg, jnp.asarray(sharded),
+                                             mesh=mesh, warmup=WARMUP)
     audio_sh, nv_sh = np.asarray(audio_sh), np.asarray(nv_sh)
 
     # unsharded truth
@@ -53,13 +53,11 @@ def test_time_sharded_matches_unsharded():
         ref = np.concatenate([audio_u[s, i, : nv_u[s, i]] for i in range(m)])
         # emission grids coincide (phase seeded analytically) => equal lengths
         assert got.shape == ref.shape, (s, got.shape, ref.shape)
-        if s == 0:
-            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=0.1)
-        else:
-            # shard >0: FIR state exact after halo; IIR transient decays.
-            # skip the first block's worth of audio, then demand high SNR
-            skip = ref.shape[0] // m
-            assert snr_db(ref[skip:], got[skip:]) > 40, s
+        # round-4 exact IIR handoff: EVERY shard matches the unsharded
+        # run with no skip window (the deemph state is carried in closed
+        # form and the resampler remainder recovered from the halo —
+        # parallel/timeshard.py module docstring)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=0.1, err_msg=str(s))
 
 
 def test_time_sharded_fifth_order_path():
@@ -69,8 +67,8 @@ def test_time_sharded_fifth_order_path():
     iq, n = _recording(cfg, seed=7)
     mesh = make_mesh(S, axis="t")
     sharded = shard_recording(iq, S, n)
-    audio_sh, _ = time_sharded_fm(cfg, jnp.asarray(sharded),
-                                  mesh=mesh, warmup=1)
+    audio_sh, _, _ = time_sharded_fm(cfg, jnp.asarray(sharded),
+                                     mesh=mesh, warmup=1)
     st = fmchain.init_state(cfg)
     blocks = sharded.reshape(-1, sharded.shape[-1])
     _, audio_u, _, _ = scan_mod.scan_fm_blocks(cfg, st, jnp.asarray(blocks))
@@ -85,8 +83,8 @@ def test_time_sharded_no_iir_exact():
     iq, n = _recording(cfg, seed=1)
     mesh = make_mesh(S, axis="t")
     sharded = shard_recording(iq, S, n)
-    audio_sh, nv_sh = time_sharded_fm(cfg, jnp.asarray(sharded),
-                                      mesh=mesh, warmup=1)
+    audio_sh, nv_sh, _ = time_sharded_fm(cfg, jnp.asarray(sharded),
+                                         mesh=mesh, warmup=1)
     st = fmchain.init_state(cfg)
     blocks = sharded.reshape(-1, sharded.shape[-1])
     _, audio_u, nv_u, _ = scan_mod.scan_fm_blocks(cfg, st, jnp.asarray(blocks))
@@ -125,15 +123,28 @@ def test_hop_sharded_sweep_zero_collectives():
 
 
 def test_time_sharded_exactly_one_permute():
-    """Time sharding's only communication is the one-hop halo ring."""
-    cfg = _cfg()
+    """Non-exact-path time sharding's only communication is the one-hop
+    halo ring; the exact-IIR path adds exactly ONE all-gather of S scalar
+    pairs for the closed-form deemph state scan."""
     mesh = make_mesh(S, axis="t")
+    # legacy path (no deemph/resampler): one collective-permute only
+    cfg = _cfg(deemph_a=0, rate_out2=-1)
     n = fmchain.block_samples(cfg, target=480)
     sharded = jnp.zeros((S, 3, 2 * n), jnp.int16)
     hlo = time_sharded_fm.lower(cfg, sharded, mesh=mesh,
                                 warmup=1).compile().as_text()
     colls = _collectives_in(hlo)
     assert len(colls) == 1 and "collective-permute" in colls[0], colls
+    # exact path: the halo permute plus one tiny all-gather
+    cfg = _cfg()
+    n = fmchain.block_samples(cfg, target=480)
+    sharded = jnp.zeros((S, 3, 2 * n), jnp.int16)
+    hlo = time_sharded_fm.lower(cfg, sharded, mesh=mesh,
+                                warmup=1).compile().as_text()
+    colls = _collectives_in(hlo)
+    perms = [c for c in colls if "collective-permute" in c]
+    gaths = [c for c in colls if "all-gather" in c]
+    assert len(perms) == 1 and len(gaths) == 1 and len(colls) == 2, colls
 
 
 def test_hop_sharded_sweep_exact():
