@@ -162,9 +162,23 @@ def fm_chain_step_impl(cfg: FmConfig, state: FmState, block):
     ``n_valid`` the valid prefix length; ``level`` is the squelch RMS for
     ``-L`` printing / hop control.
     """
+    from rx_tools_tpu.ops import fused_frontend
+
     fifth, droop, polyfir = state.fifth, state.droop, state.polyfir
     boxcar = state.boxcar
     dc_iq = state.dc_iq
+    k_out = block.shape[0] // 2 // cfg.downsample
+    if cfg.mode == "fm" and fused_frontend.fused_eligible(cfg, k_out):
+        # round-4 one-kernel front: capture + fast-atan discriminator +
+        # level partials fused in VMEM (ops/fused_frontend.py); the seam
+        # quirk (std atan2 at sample 0, rtl_fm.c:588-590) is restored
+        # outside the kernel — semantics identical to the unfused path
+        prev_iq, audio, levels = fused_frontend.fused_capture_fm_demod(
+            state.prev_iq, block, cfg.downsample, k_out,
+            rotate=not cfg.offset_tuning)
+        return _fm_post(cfg, state, audio, levels[0], prev_iq, dc_iq,
+                        fifth, droop, boxcar, polyfir,
+                        state.squelch_hits)
     if (not cfg.dc_block_raw and not cfg.downsample_passes
             and cfg.fir_quality <= 9):
         # the default boxcar chain head — rescale (rtl_fm.c:845-848),
@@ -228,7 +242,14 @@ def fm_chain_step_impl(cfg: FmConfig, state: FmState, block):
     else:
         raise ValueError(cfg.mode)
 
-    # --- audio post-processing (rtl_fm.c:814-823) ---
+    return _fm_post(cfg, state, audio, level, prev_iq, dc_iq, fifth, droop,
+                    boxcar, polyfir, squelch_hits)
+
+
+def _fm_post(cfg, state, audio, level, prev_iq, dc_iq, fifth, droop,
+             boxcar, polyfir, squelch_hits):
+    """Audio post-processing + state assembly (rtl_fm.c:814-823), shared
+    by the fused and unfused front paths."""
     if cfg.post_downsample > 1:
         audio = ops.low_pass_simple(audio, cfg.post_downsample)
     deemph_avg = state.deemph_avg

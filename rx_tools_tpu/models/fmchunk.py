@@ -46,6 +46,7 @@ from rx_tools_tpu.models import fmchain
 from rx_tools_tpu.ops.resample import resample_rational
 
 
+
 def supports(cfg: fmchain.FmConfig) -> bool:
     """Configs the flat formulation covers (the common/hot ones)."""
     return (cfg.downsample_passes == 0 and cfg.fir_quality <= 9
@@ -80,6 +81,17 @@ def fm_chunk_step(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
     n = twon // 2
     d = cfg.downsample
     dc_iq = state.dc_iq
+    # --- fully fused front (round-4): capture + fast-atan discriminator +
+    # level partials in ONE Pallas kernel (ops/fused_frontend.py) — the
+    # K-rate op boundaries (planar splits, shifted prev, level reduces)
+    # were costing more HBM round-trips than the math (chipsuite15)
+    from rx_tools_tpu.ops import fused_frontend
+    if fused_frontend.fused_eligible(cfg, n // d):
+        prev_iq, audio, levels = fused_frontend.fused_capture_fm_demod(
+            state.prev_iq, blocks.reshape(-1), d, n // d,
+            rotate=not cfg.offset_tuning)
+        return _fm_tail(cfg, state, audio, levels, prev_iq, dc_iq,
+                        state.squelch_hits, m)
     if not cfg.dc_block_raw:
         # fused capture head (rescale + fs/4 + boxcar decimate) over the
         # whole chunk at once as two masked reduces, PLANAR output; the
@@ -144,7 +156,13 @@ def fm_chunk_step(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
         new_state = state._replace(dc_iq=dc_iq, squelch_hits=squelch_hits)
         return new_state, audio, jnp.int32(audio.shape[0]), levels
 
-    # --- audio post-processing ------------------------------------------
+    return _fm_tail(cfg, state, audio, levels, prev_iq, dc_iq,
+                    squelch_hits, m)
+
+
+def _fm_tail(cfg, state, audio, levels, prev_iq, dc_iq, squelch_hits, m):
+    """Shared audio post-processing: post-downsample, deemph, audio DC
+    block, rational resample, state assembly (both front paths)."""
     if cfg.post_downsample > 1:
         audio = ops.low_pass_simple(audio, cfg.post_downsample)
     deemph_avg = state.deemph_avg

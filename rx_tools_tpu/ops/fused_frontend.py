@@ -1,0 +1,223 @@
+"""One-kernel capture+demod front: rescale -> fs/4 -> decimate -> fast-atan
+FM discriminator -> squelch-level partials, fused in VMEM.
+
+Round-4 finding (tools/chipsuite13/15.py): with the deemphasis scan moved
+to the MXU the chain's remaining front cost is NOT arithmetic — the
+Pallas frontend standalone reads ~250 GB/s but frontend+levels in-chain
+measured ~60 GB/s — it is the *op boundaries*: every K-rate stage
+(planar split, shifted prev, discriminator, levels reduces) re-reads and
+re-writes the 1.8 MB planar intermediates through HBM, and each op costs
+dispatch overhead on this backend.  This kernel keeps the decimated
+stream in VMEM from the matmul through the discriminator:
+
+    int16 (T, P*2D) tile -> convert+rescale (VPU)
+                         -> block-banded fs/4+decimate matmul (MXU)
+                         -> previous-sample shift via lane/sublane rolls
+                         -> fast_atan2 discriminator   (rtl_fm.c:485-513)
+                         -> per-tile level partials     (rtl_fm.c:739-757)
+
+HBM traffic: the raw int16 in, the (K,) discriminator stream out, plus
+(grid, 4) seam pairs and (grid, 2) level partials — nothing else.
+
+The per-buffer seam quirk (sample 0 of every read buffer uses the std
+atan2 regardless of -A mode, ``fm_demod`` rtl_fm.c:588-590) is applied
+OUTSIDE the kernel: Mosaic has no ``arctan2`` lowering (measured,
+tools/chipsuite14.py), so the kernel emits each tile's first/last complex
+pair and :func:`fused_capture_fm_demod` rewrites the M seam samples with
+the exact ``polar_discriminant`` — bit-identical to the unfused chain.
+
+Geometry: requires K %% (tile_rows*P) == 0 and block seams aligned to
+tile starts; the dispatch in ``models/fmchunk.py`` falls back to the
+unfused path otherwise (and for every non-(fm, fast-atan, no-squelch)
+config).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rx_tools_tpu.ops.frontend_mxu import _fs4_decim_matrix
+from rx_tools_tpu.ops.pallas_frontend import _SCALE
+from rx_tools_tpu.ops.discriminators import polar_discriminant
+
+_P = 32
+_PI4 = np.float32(1 << 12)
+_PI34 = np.float32(3 * (1 << 12))
+
+# RX_FUSED=0 keeps the unfused multi-op front (A/B escape hatch; read
+# once at import — trace-time env reads bake into jit caches)
+_OFF = __import__("os").environ.get("RX_FUSED", "") == "0"
+
+
+def fused_eligible(cfg, k_per_block: int) -> bool:
+    """True when the one-kernel front covers this config: TPU backend,
+    boxcar decimation, FM with the fast-atan discriminator, squelch off,
+    no raw DC block, and a tile-alignable geometry."""
+    return (not _OFF and jax.default_backend() == "tpu"
+            and cfg.mode == "fm" and cfg.custom_atan == 1
+            and cfg.squelch_level == 0 and not cfg.dc_block_raw
+            and not cfg.downsample_passes and cfg.fir_quality <= 9
+            and pick_tile_rows(k_per_block) > 0)
+
+
+def _fused_kernel(x_ref, m_ref, d_ref, fl_ref, lv_ref, carry, *,
+                  scale: float):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        carry[0, 0] = 0.0
+        carry[0, 1] = 0.0
+
+    v = x_ref[:].astype(jnp.float32) * scale            # (T, P*2D)
+    z = jnp.dot(v, m_ref[:], precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)     # (T, 2P)
+    zi = z[:, :_P]
+    zq = z[:, _P:]
+    t = zi.shape[0]
+
+    # previous sample in row-major (T, P) sample order: lane j-1 of the
+    # same row; lane 0 takes lane P-1 of the row above; (0, 0) takes the
+    # cross-tile carry (TPU grid iterations run sequentially, so the
+    # scratch carries the last pair of the previous tile)
+    zi_l = pltpu.roll(zi, shift=1, axis=1)              # lane0 <- lane P-1
+    zq_l = pltpu.roll(zq, shift=1, axis=1)
+    zi_u = pltpu.roll(zi_l, shift=1, axis=0)            # row r <- row r-1
+    zq_u = pltpu.roll(zq_l, shift=1, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, _P), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, _P), 1)
+    pi = jnp.where(lane == 0, zi_u, zi_l)
+    pq = jnp.where(lane == 0, zq_u, zq_l)
+    first = (lane == 0) & (row == 0)
+    pi = jnp.where(first, carry[0, 0], pi)
+    pq = jnp.where(first, carry[0, 1], pq)
+
+    # c = z * conj(prev);  fast integer-octant atan2 in float
+    # (rtl_fm.c:485-513); the masked 0/0 lanes produce NaN in the
+    # unselected branch only
+    cr = zi * pi + zq * pq
+    cj = zq * pi - zi * pq
+    yabs = jnp.abs(cj)
+    pos = _PI4 - _PI4 * (cr - yabs) / (cr + yabs)
+    neg = _PI34 - _PI4 * (cr + yabs) / (yabs - cr)
+    ang = jnp.where(cr >= 0, pos, neg)
+    ang = jnp.where((cr == 0) & (cj == 0), 0.0, ang)
+    d_ref[:] = jnp.where(cj < 0, -ang, ang)
+
+    # per-tile outputs: seam pairs + level partials (combined outside)
+    fl_ref[0, 0] = zi[0, 0]
+    fl_ref[0, 1] = zq[0, 0]
+    fl_ref[0, 2] = zi[t - 1, _P - 1]
+    fl_ref[0, 3] = zq[t - 1, _P - 1]
+    lv_ref[0, 0] = jnp.sum(zi) + jnp.sum(zq)
+    lv_ref[0, 1] = jnp.sum(zi * zi) + jnp.sum(zq * zq)
+
+    carry[0, 0] = zi[t - 1, _P - 1]
+    carry[0, 1] = zq[t - 1, _P - 1]
+
+
+def fused_capture_fm(block_i16, downsample: int, rotate: bool = True,
+                     tile_rows: int = 144, interpret: bool = False):
+    """``(2N,) int16 -> (d (K,), firstlast (G, 4), levels (G, 2))``.
+
+    ``d`` is the fast-atan discriminator stream (seam samples still in
+    fast-atan form — fix them with :func:`fused_capture_fm_demod`);
+    ``firstlast[g] = [zi_first, zq_first, zi_last, zq_last]`` of tile g;
+    ``levels[g] = [sum(zi)+sum(zq), sum(zi^2)+sum(zq^2)]``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = int(downsample)
+    k = block_i16.shape[0] // (2 * d)
+    rows = k // _P
+    assert k % _P == 0 and rows % tile_rows == 0, (k, rows, tile_rows)
+    grid = rows // tile_rows
+    x = block_i16.reshape(rows, _P * 2 * d)
+    m = jnp.asarray(_fs4_decim_matrix(d, _P, bool(rotate)))
+    kern = functools.partial(_fused_kernel, scale=float(_SCALE))
+    dd, fl, lv = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((tile_rows, _P * 2 * d), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((_P * 2 * d, 2 * _P), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((tile_rows, _P), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 4), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 2), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((rows, _P), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, 2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, 2), jnp.float32)],
+        interpret=interpret,
+    )(x, m)
+    return dd.reshape(-1), fl, lv
+
+
+def pick_tile_rows(k_per_block: int) -> int:
+    """Largest supported tile height (sublane-multiple divisor of the
+    per-block row count) so block seams land on tile starts; 0 = no
+    usable geometry (caller falls back to the unfused path)."""
+    if k_per_block % _P:
+        return 0
+    rpb = k_per_block // _P
+    for cand in (256, 192, 144, 128, 96, 64, 48, 32, 16, 8):
+        if rpb % cand == 0:
+            return cand
+    return 0
+
+
+def fused_capture_fm_demod(prev_iq, blocks_flat, downsample: int,
+                           k_per_block: int, rotate: bool = True,
+                           interpret: bool = False):
+    """Full fused front for the flat chunk engine.
+
+    ``blocks_flat``: (M*2N,) int16, M blocks of ``k_per_block`` output
+    samples each.  Returns ``(new_prev_iq (2,), d (K,), levels (M,))``
+    with semantics identical to ``capture_frontend_planar`` +
+    ``fm_discriminate_planar(..., seam_stride=k_per_block)`` + the
+    rms level formula (golden-tested against that composition).
+    """
+    t = pick_tile_rows(k_per_block)
+    dd, fl, lv = fused_capture_fm(blocks_flat, downsample, rotate,
+                                  tile_rows=t, interpret=interpret)
+    k_tot = dd.shape[0]
+    m = k_tot // k_per_block
+    tiles_per_block = (k_per_block // _P) // t
+    grid = fl.shape[0]
+
+    # --- seam quirk: std atan2 at sample 0 of every block --------------
+    # (fm_demod, rtl_fm.c:588-590); seams sit at tile starts by
+    # construction.  prev pair for block b = last pair of the previous
+    # tile (the chunk's carried prev_iq for b == 0).
+    gidx = jnp.arange(m) * tiles_per_block
+    z0 = fl[gidx, 0:2]                                  # (M, 2) seam pair
+    prev_last = fl[jnp.maximum(gidx - 1, 0), 2:4]
+    prev = jnp.where((jnp.arange(m) == 0)[:, None], prev_iq[None, :],
+                     prev_last)
+    cr = z0[:, 0] * prev[:, 0] + z0[:, 1] * prev[:, 1]
+    cj = z0[:, 1] * prev[:, 0] - z0[:, 0] * prev[:, 1]
+    d_seam = polar_discriminant(cr, cj)
+    dd = dd.at[gidx * (t * _P)].set(d_seam)
+
+    # --- levels: combine per-tile partials per block --------------------
+    lvb = lv.reshape(m, tiles_per_block, 2).sum(axis=1)
+    tsum, psum = lvb[:, 0], lvb[:, 1]
+    nn = 2 * k_per_block
+    dc = tsum / nn
+    err = tsum * 2 * dc - dc * dc * nn
+    levels = jnp.sqrt(jnp.maximum(psum - err, 0.0) / nn)
+
+    new_prev = fl[grid - 1, 2:4]
+    return new_prev, dd, levels

@@ -117,10 +117,11 @@ def _cumsum_mxu(x, lanes: int = 128):
 
 
 def _csum_flat(x):
-    """Inclusive cumsum dispatch: triangular-MXU blocks on TPU
-    (:func:`_cumsum_mxu`), ``jnp.cumsum`` elsewhere (CPU golden path)."""
-    if jax.default_backend() == "tpu":
-        return _cumsum_mxu(x)
+    """Inclusive cumsum for the resampler.  The triangular-MXU variant
+    (:func:`_cumsum_mxu`) wins standalone (26 vs 8 GB/s) but LOSES inside
+    the resampler (5.7 vs 38 GB/s in-chain — the dot is a fusion barrier
+    that re-materializes what the row gather then re-reads;
+    tools/chipsuite14/15.py round-4), so the chain keeps ``jnp.cumsum``."""
     return jnp.cumsum(x)
 
 

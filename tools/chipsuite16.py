@@ -1,0 +1,149 @@
+"""Round-4: fused-front chain A/B + fused kernel standalone rate.
+
+  chain   flat engine with the fused front (production dispatch) vs
+          RX_FUSED=0-style unfused front, same session
+  kern    fused kernel standalone (int16 in -> d out) read rate
+  scan    per-block scan engine with the fused front
+
+Scheme: distinct-chunks, pool-as-argument, gated K-differenced rounds
+(tools/chipsuite15.py method).
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def k_rate_gated(make_run, arg, work, k1, k2, reps=14, rounds=4, max_att=8):
+    r1, r2 = make_run(k1), make_run(k2)
+    t0 = time.time(); float(r1(arg)); log(f"  compile k={k1}: {time.time()-t0:.0f}s")
+    t0 = time.time(); float(r2(arg)); log(f"  compile k={k2}: {time.time()-t0:.0f}s")
+    out, rej = [], 0
+    for _ in range(max_att):
+        if len(out) >= rounds:
+            break
+        t1s, t2s = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter(); float(r1(arg))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(r2(arg))
+            t2s.append(time.perf_counter() - t0)
+        dt = (statistics.median(t2s) - statistics.median(t1s)) / (k2 - k1)
+        if dt <= 0:
+            rej += 1
+            continue
+        out.append(work / dt)
+    return out, rej
+
+
+def main():
+    phases = sys.argv[1:] or ["chain", "kern", "scan"]
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jaxcache"))
+    import dataclasses
+    import jax.numpy as jnp
+    from rx_tools_tpu import ops
+    from rx_tools_tpu.models import fmchain, fmchunk
+    from rx_tools_tpu.ops import fused_frontend
+    from rx_tools_tpu.stream.scan import scan_fm_blocks
+
+    log(f"backend={jax.default_backend()} phases={phases}")
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    float(jnp.sum(jax.device_put(np.ones(8, np.int16)).astype(jnp.float32)))
+    log(f"first fetch: {time.time()-t0:.0f}s")
+    results = {}
+
+    D = 14
+    n = 258048
+    BL = 12
+    CH = 4
+    K1, K2 = 1, 5
+    NPOOL = K2 * CH
+    data = rng.integers(-16000, 16000,
+                        (NPOOL, BL, 2 * n)).astype(np.int16)
+    dd = jax.device_put(data)
+    per_pass = CH * BL * 2 * n * 2
+    base = fmchain.FmConfig(
+        mode="fm", rate_in=2_400_000 // D, rate_out=2_400_000 // D,
+        rate_out2=32_000, downsample=D, custom_atan=1,
+        deemph_a=ops.deemph_alpha(2_400_000 // D, 75), squelch_level=0.0)
+
+    def engine_rate(engine, cfg, tag):
+        st0 = fmchain.init_state(cfg)
+
+        def make(k):
+            @jax.jit
+            def run(args):
+                st, pool = args
+                acc = jnp.zeros(())
+                for r in range(k):
+                    for c in range(CH):
+                        st, audio, nv, lv = engine(cfg, st, pool[r * CH + c])
+                        acc = (acc + jnp.sum(audio)
+                               + nv.sum().astype(jnp.float32)
+                               + jnp.sum(lv))
+                return acc + st.deemph_avg + st.prev_iq[0]
+            return run
+        try:
+            rs, rej = k_rate_gated(make, (st0, dd), per_pass, K1, K2)
+            results[tag] = round(statistics.median(rs) / 1e9, 2) if rs else 0.0
+            log(f"{tag}: {['%.2f' % (x/1e9) for x in rs]} GB/s (rej={rej})")
+        except Exception as e:
+            log(f"{tag} FAILED: {e!r}")
+            results[tag] = None
+
+    if "chain" in phases:
+        engine_rate(fmchunk.fm_chunk_step, base, "ch_fused")
+        # unfused A/B in the same session: disable via the module flag,
+        # distinct cfg forces a fresh trace
+        fused_frontend._OFF = True
+        try:
+            engine_rate(fmchunk.fm_chunk_step,
+                        dataclasses.replace(base, output_scale=2),
+                        "ch_unfused")
+        finally:
+            fused_frontend._OFF = False
+
+    if "kern" in phases:
+        flat = dd.reshape(NPOOL, BL * 2 * n)
+
+        def make_kern(k):
+            @jax.jit
+            def run(pool):
+                acc = jnp.zeros(())
+                prev = jnp.zeros(2, jnp.float32)
+                for r in range(k):
+                    for c in range(CH):
+                        prev, dsig, lv = fused_frontend.fused_capture_fm_demod(
+                            prev, pool[r * CH + c], D, n // D)
+                        acc = acc + jnp.sum(dsig) + jnp.sum(lv)
+                return acc + prev[0]
+            return run
+        try:
+            rs, rej = k_rate_gated(make_kern, flat, per_pass, K1, K2)
+            results["kern"] = round(statistics.median(rs) / 1e9, 2) if rs else 0.0
+            log(f"kern: {['%.2f' % (x/1e9) for x in rs]} GB/s (rej={rej})")
+        except Exception as e:
+            log(f"kern FAILED: {e!r}")
+            results["kern"] = None
+
+    if "scan" in phases:
+        engine_rate(scan_fm_blocks,
+                    dataclasses.replace(base, output_scale=3), "scan_fused")
+
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
