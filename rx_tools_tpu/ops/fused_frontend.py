@@ -111,13 +111,17 @@ def _fused_kernel(x_ref, m_ref, d_ref, fl_ref, lv_ref, carry, *,
     ang = jnp.where((cr == 0) & (cj == 0), 0.0, ang)
     d_ref[:] = jnp.where(cj < 0, -ang, ang)
 
-    # per-tile outputs: seam pairs + level partials (combined outside)
-    fl_ref[0, 0] = zi[0, 0]
-    fl_ref[0, 1] = zq[0, 0]
-    fl_ref[0, 2] = zi[t - 1, _P - 1]
-    fl_ref[0, 3] = zq[t - 1, _P - 1]
-    lv_ref[0, 0] = jnp.sum(zi) + jnp.sum(zq)
-    lv_ref[0, 1] = jnp.sum(zi * zi) + jnp.sum(zq * zq)
+    # per-tile outputs: seam pairs + level partials (combined outside).
+    # These refs hold the FULL (grid, 4)/(grid, 2) arrays in SMEM (a
+    # (1, x) VMEM block violates Mosaic's (8, 128)-divisibility rule and
+    # VMEM refuses scalar stores — both measured on hardware); each grid
+    # step writes its own row at a dynamic index, scalar by scalar.
+    fl_ref[g, 0] = zi[0, 0]
+    fl_ref[g, 1] = zq[0, 0]
+    fl_ref[g, 2] = zi[t - 1, _P - 1]
+    fl_ref[g, 3] = zq[t - 1, _P - 1]
+    lv_ref[g, 0] = jnp.sum(zi) + jnp.sum(zq)
+    lv_ref[g, 1] = jnp.sum(zi * zi) + jnp.sum(zq * zq)
 
     carry[0, 0] = zi[t - 1, _P - 1]
     carry[0, 1] = zq[t - 1, _P - 1]
@@ -152,14 +156,14 @@ def fused_capture_fm(block_i16, downsample: int, rotate: bool = True,
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((tile_rows, _P), lambda g: (g, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 4), lambda g: (g, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 2), lambda g: (g, 0),
-                                memory_space=pltpu.VMEM)],
+                   pl.BlockSpec((grid, 4), lambda g: (0, 0),
+                                memory_space=pltpu.SMEM),
+                   pl.BlockSpec((grid, 2), lambda g: (0, 0),
+                                memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((rows, _P), jnp.float32),
                    jax.ShapeDtypeStruct((grid, 4), jnp.float32),
                    jax.ShapeDtypeStruct((grid, 2), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((1, 2), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((1, 2), jnp.float32)],
         interpret=interpret,
     )(x, m)
     return dd.reshape(-1), fl, lv

@@ -146,6 +146,10 @@ def _pick_rows(v, idx, lanes: int = 128):
     return jnp.sum(jnp.where(sel, rows, 0.0), axis=-1)
 
 
+# A/B escape hatch for the gather-free TPU resampler (tools/chipsuite17)
+_ROWS_OFF = False
+
+
 class ResampleState(NamedTuple):
     acc: jnp.ndarray      # () float32 pending window sum   (now_lpr)
     phase: jnp.ndarray    # () int32 fractional phase       (prev_lpr_index)
@@ -161,6 +165,116 @@ def resample_divisible(x, fast: int, slow: int):
     k = fast // slow
     n = (x.shape[0] // k) * k
     return x[:n].reshape(-1, k).sum(axis=1) * jnp.float32(1.0 / k)
+
+
+def _resample_rows(state: ResampleState, x, fast: int, slow: int):
+    """Gather-free resampler: row-local prefix sums + two masked-reduce
+    extractions (round-4; fast/slow already gcd-reduced, ``fast > slow``).
+
+    The cumsum+row-gather formulation's cost was structural: a global
+    ``jnp.cumsum`` over the chunk plus a (cap, 128) row gather that
+    re-reads every row ~fast/slow times.  This formulation touches HBM
+    once per stage, all full-lane constructs (the capture-frontend trick
+    applied to the resampler):
+
+    1. row-local inclusive prefix sums ``S = x.reshape(R,128) @ U`` (one
+       MXU triangular matmul — no global scan, and numerically BETTER
+       than the global cumsum: window sums difference row-scale values,
+       not stream-scale ones);
+    2. ``csumext`` extends each row with the tail of the previous row
+       (negative lanes), so any emission window — including row-crossing
+       ones — is a difference of two lanes of ONE row;
+    3. windows in (row, slot) layout via an iota-keyed masked reduce:
+       ``w[r, e]`` = window sum of emission ``K0[r] + e`` (slot validity
+       zeroes ghosts);
+    4. flat (cap,) extraction in OUTPUT layout: out-row q reads the
+       W+2 consecutive ``w`` rows covering its 128 emissions and
+       matches slots by the emission index equation — a second masked
+       reduce, no scatter/compaction.
+
+    Semantics identical to :func:`resample_rational`'s path (same
+    emission grid, truncated divisor, carried acc/phase); values differ
+    only by f32 summation association.
+    """
+    n = x.shape[0]
+    ll = 128
+    r = n // ll
+    w_max = fast // slow + 1             # max samples per window
+    ext = w_max + 2
+    e_slots = (ll * slow) // fast + 2    # max emissions per row + margin
+    nr = w_max + 2                       # w-rows covering 128 emissions
+    cap = n * slow // fast + 2
+    divisor = jnp.float32(1.0 / (fast // slow))
+    phase = state.phase.astype(jnp.int32)
+
+    from rx_tools_tpu.ops.filters import _scan_matrix
+    xp = x.reshape(r, ll)
+    u = jnp.asarray(_scan_matrix(ll, 1.0))
+    s = jax.lax.dot_general(xp, u, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)  # (R, L)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (r, ll), 1)
+    rowtot = jnp.sum(jnp.where(lane_i == ll - 1, s, 0.0), axis=1)  # (R,)
+    # negative-lane extension: lane EXT-1-j of row r == -(sum of the last
+    # j+1 samples of row r-1); row 0's extension is zero (chunk start)
+    prev_tail = s[:-1, ll - ext:] - rowtot[:-1, None]
+    prev_tail = jnp.concatenate(
+        [jnp.zeros((1, ext), s.dtype), prev_tail], axis=0)
+    csumext = jnp.concatenate([prev_tail, s], axis=1)      # (R, L+EXT)
+
+    # --- stage 3: window sums in (row, slot) layout ---------------------
+    ri = jnp.arange(r, dtype=jnp.int32)[:, None]           # (R, 1)
+    ei = jnp.arange(e_slots, dtype=jnp.int32)[None, :]     # (1, E)
+    k0 = (phase + (ll * ri) * slow) // fast                # (R, 1)
+    k0n = (phase + (ll * (ri + 1)) * slow) // fast
+    k_re = k0 + ei                                         # (R, E)
+    total = (phase + n * slow) // fast
+    pos = ((k_re + 1) * fast - phase + slow - 1) // slow - 1
+    pos_prev = (k_re * fast - phase + slow - 1) // slow - 1
+    valid = (ei < (k0n - k0)) & (k_re < total)
+    el = pos - ll * ri + ext
+    sl = jnp.maximum(pos_prev - ll * ri + ext, 0)
+    lanes = jnp.arange(ll + ext, dtype=jnp.int32)
+    ends = jnp.sum(jnp.where(lanes == el[..., None],
+                             csumext[:, None, :], 0.0), axis=-1)
+    starts = jnp.sum(jnp.where(lanes == sl[..., None],
+                               csumext[:, None, :], 0.0), axis=-1)
+    w = jnp.where(valid, ends - starts, 0.0)               # (R, E)
+
+    # --- stage 4: flat extraction in output layout ----------------------
+    cap_r = -(-cap // ll)
+    q = jnp.arange(cap_r, dtype=jnp.int32)[:, None]        # (capR, 1)
+    kq = ll * q
+    pos_q = jnp.clip(((kq + 1) * fast - phase + slow - 1) // slow - 1,
+                     0, n - 1)
+    r0 = jnp.clip(pos_q // ll, 0, max(r - nr, 0))          # (capR, 1)
+    rwin = r0 + jnp.arange(nr, dtype=jnp.int32)[None, :]   # (capR, NR)
+    win = jnp.take(w, rwin, axis=0)                        # (capR, NR, E)
+    k0w = (phase + (ll * rwin) * slow) // fast             # (capR, NR)
+    target = (k0w[..., None]
+              + jnp.arange(e_slots, dtype=jnp.int32))      # (capR, NR, E)
+    tf = target.reshape(cap_r, 1, nr * e_slots)
+    wf = win.reshape(cap_r, 1, nr * e_slots)
+    out_k = (kq + jnp.arange(ll, dtype=jnp.int32)[None, :])[..., None]
+    y = jnp.sum(jnp.where(tf == out_k, wf, 0.0), axis=-1)  # (capR, L)
+    y = y.reshape(-1)[:cap]
+    kk = jnp.arange(cap)
+    y = y + jnp.where(kk == 0, state.acc, 0.0)
+    y = jnp.where(kk < total, y * divisor, 0.0)
+    n_valid = total.astype(jnp.int32)
+
+    # --- carried state --------------------------------------------------
+    carry_excl = jnp.cumsum(rowtot) - rowtot               # (R,) small
+    total_x = carry_excl[-1] + rowtot[-1]                  # grand sum
+    pos_last = jnp.clip((total * fast - phase + slow - 1) // slow - 1,
+                        0, n - 1)
+    csum_last = (jnp.take(s.reshape(-1), pos_last)
+                 + jnp.take(carry_excl, pos_last // ll))
+    consumed_end = jnp.where(total > 0, csum_last + state.acc, 0.0)
+    new_acc = total_x + state.acc - consumed_end
+    new_phase = (phase + n * slow) % fast
+    return (ResampleState(new_acc.astype(jnp.float32),
+                          new_phase.astype(jnp.int32)),
+            y, n_valid)
 
 
 def resample_rational(state: ResampleState, x, fast: int, slow: int):
@@ -194,6 +308,11 @@ def resample_rational(state: ResampleState, x, fast: int, slow: int):
     import math as _math
     g = _math.gcd(int(fast), int(slow))
     fast, slow = int(fast) // g, int(slow) // g
+    # round-4 TPU path: gather-free row formulation (same emission grid
+    # and carried state; f32 association differs) — see _resample_rows
+    if (not _ROWS_OFF and jax.default_backend() == "tpu" and n % 128 == 0
+            and fast // slow + 1 <= 16):
+        return _resample_rows(state, x, fast, slow)
     # phase after consuming sample j (1-indexed): c_j = phase0 + j*slow
     j = jnp.arange(1, n + 1)
     c = state.phase + j * slow

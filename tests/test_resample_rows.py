@@ -1,0 +1,52 @@
+"""The gather-free TPU resampler (_resample_rows) matches the reference
+cumsum+gather formulation: same emission grid, same carried state, values
+within f32 reassociation (it sums windows from row-local prefixes instead
+of differencing a stream-scale global cumsum — numerically tighter)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rx_tools_tpu.ops import resample
+
+
+@pytest.mark.parametrize("fast,slow,n", [
+    (171428, 32000, 128 * 36),    # the wbfm 2.4M/14 -> 32k ratio
+    (170000, 32000, 128 * 24),    # the wbfm preset ratio
+    (48000, 8000, 1280),          # exact divisor
+    (24000, 18000, 2560),         # ratio < 2 (every window 1-2 samples)
+    (171428, 32000, 128 * 173),   # long chunk, phase wraps several times
+])
+def test_rows_matches_reference_chained(fast, slow, n):
+    g = math.gcd(fast, slow)
+    fr, sr = fast // g, slow // g
+    assert fr // sr + 1 <= 16, "dispatch gate would exclude this ratio"
+    rng = np.random.default_rng(5)
+    sa = sb = resample.ResampleState.init()
+    for i in range(3):                     # chained: nonzero phase + acc
+        x = jnp.asarray(rng.normal(0, 1000, n).astype(np.float32))
+        sa, ya, nva = resample.resample_rational(sa, x, fast, slow)
+        sb, yb, nvb = resample._resample_rows(sb, x, fr, sr)
+        assert int(nva) == int(nvb)
+        assert ya.shape == yb.shape
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                                   atol=2e-2, err_msg=f"chunk {i}")
+        assert int(sa.phase) == int(sb.phase)
+        assert abs(float(sa.acc) - float(sb.acc)) < 2e-2
+
+
+def test_rows_nonzero_initial_phase():
+    # a mid-stream seed, as the time-sharded path produces
+    st = resample.ResampleState(jnp.float32(123.0), jnp.int32(17321))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 500, 128 * 20).astype(np.float32))
+    g = math.gcd(171428, 32000)
+    s1, y1, n1 = resample.resample_rational(st, x, 171428, 32000)
+    s2, y2, n2 = resample._resample_rows(st, x, 171428 // g, 32000 // g)
+    assert int(n1) == int(n2)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=2e-2)
+    assert int(s1.phase) == int(s2.phase)
+    assert abs(float(s1.acc) - float(s2.acc)) < 2e-2

@@ -104,7 +104,16 @@ def main():
             results[tag] = None
 
     if "chain" in phases:
+        from rx_tools_tpu.ops import resample as _resample
         engine_rate(fmchunk.fm_chunk_step, base, "ch_fused")
+        # rows-resampler off (old cumsum+row-gather) on top of the fused front
+        _resample._ROWS_OFF = True
+        try:
+            engine_rate(fmchunk.fm_chunk_step,
+                        dataclasses.replace(base, output_scale=4),
+                        "ch_fused_oldrs")
+        finally:
+            _resample._ROWS_OFF = False
         # unfused A/B in the same session: disable via the module flag,
         # distinct cfg forces a fresh trace
         fused_frontend._OFF = True
