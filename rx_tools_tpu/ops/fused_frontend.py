@@ -79,35 +79,40 @@ def _fused_kernel(x_ref, m_ref, d_ref, fl_ref, lv_ref, carry, *,
     v = x_ref[:].astype(jnp.float32) * scale            # (T, P*2D)
     z = jnp.dot(v, m_ref[:], precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)     # (T, 2P)
-    zi = z[:, :_P]
-    zq = z[:, _P:]
-    t = zi.shape[0]
+    t4 = z.shape[0] // (128 // _P)
+    # full-lane planar views: (T, P) row-major == (T*P/128, 128).  The
+    # first cut ran the epilogue on (T, 32) tiles and measured 9x below
+    # the plain frontend kernel — 3/4 of every VPU op wasted and two
+    # divides per sample (round-4, tools/chipsuite16.py first run)
+    zi = z[:, :_P].reshape(t4, 128)
+    zq = z[:, _P:].reshape(t4, 128)
 
-    # previous sample in row-major (T, P) sample order: lane j-1 of the
-    # same row; lane 0 takes lane P-1 of the row above; (0, 0) takes the
+    # previous sample in row-major sample order: lane j-1 of the same
+    # row; lane 0 takes lane 127 of the row above; (0, 0) takes the
     # cross-tile carry (TPU grid iterations run sequentially, so the
     # scratch carries the last pair of the previous tile)
-    zi_l = pltpu.roll(zi, shift=1, axis=1)              # lane0 <- lane P-1
+    zi_l = pltpu.roll(zi, shift=1, axis=1)              # lane0 <- lane 127
     zq_l = pltpu.roll(zq, shift=1, axis=1)
     zi_u = pltpu.roll(zi_l, shift=1, axis=0)            # row r <- row r-1
     zq_u = pltpu.roll(zq_l, shift=1, axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (t, _P), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (t, _P), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (t4, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t4, 128), 1)
     pi = jnp.where(lane == 0, zi_u, zi_l)
     pq = jnp.where(lane == 0, zq_u, zq_l)
     first = (lane == 0) & (row == 0)
     pi = jnp.where(first, carry[0, 0], pi)
     pq = jnp.where(first, carry[0, 1], pq)
 
-    # c = z * conj(prev);  fast integer-octant atan2 in float
-    # (rtl_fm.c:485-513); the masked 0/0 lanes produce NaN in the
-    # unselected branch only
+    # c = z * conj(prev);  fast integer-octant atan2 (rtl_fm.c:485-513)
+    # with the octant branches merged BEFORE the division so each sample
+    # pays ONE divide; the 0/0 lane is masked after
     cr = zi * pi + zq * pq
     cj = zq * pi - zi * pq
     yabs = jnp.abs(cj)
-    pos = _PI4 - _PI4 * (cr - yabs) / (cr + yabs)
-    neg = _PI34 - _PI4 * (cr + yabs) / (yabs - cr)
-    ang = jnp.where(cr >= 0, pos, neg)
+    num = jnp.where(cr >= 0, cr - yabs, cr + yabs)
+    den = jnp.where(cr >= 0, cr + yabs, yabs - cr)
+    base = jnp.where(cr >= 0, _PI4, _PI34)
+    ang = base - _PI4 * (num / den)
     ang = jnp.where((cr == 0) & (cj == 0), 0.0, ang)
     d_ref[:] = jnp.where(cj < 0, -ang, ang)
 
@@ -118,13 +123,13 @@ def _fused_kernel(x_ref, m_ref, d_ref, fl_ref, lv_ref, carry, *,
     # step writes its own row at a dynamic index, scalar by scalar.
     fl_ref[g, 0] = zi[0, 0]
     fl_ref[g, 1] = zq[0, 0]
-    fl_ref[g, 2] = zi[t - 1, _P - 1]
-    fl_ref[g, 3] = zq[t - 1, _P - 1]
+    fl_ref[g, 2] = zi[t4 - 1, 127]
+    fl_ref[g, 3] = zq[t4 - 1, 127]
     lv_ref[g, 0] = jnp.sum(zi) + jnp.sum(zq)
     lv_ref[g, 1] = jnp.sum(zi * zi) + jnp.sum(zq * zq)
 
-    carry[0, 0] = zi[t - 1, _P - 1]
-    carry[0, 1] = zq[t - 1, _P - 1]
+    carry[0, 0] = zi[t4 - 1, 127]
+    carry[0, 1] = zq[t4 - 1, 127]
 
 
 def fused_capture_fm(block_i16, downsample: int, rotate: bool = True,
@@ -142,11 +147,13 @@ def fused_capture_fm(block_i16, downsample: int, rotate: bool = True,
     d = int(downsample)
     k = block_i16.shape[0] // (2 * d)
     rows = k // _P
-    assert k % _P == 0 and rows % tile_rows == 0, (k, rows, tile_rows)
+    assert (k % _P == 0 and rows % tile_rows == 0
+            and tile_rows % 32 == 0), (k, rows, tile_rows)
     grid = rows // tile_rows
     x = block_i16.reshape(rows, _P * 2 * d)
     m = jnp.asarray(_fs4_decim_matrix(d, _P, bool(rotate)))
     kern = functools.partial(_fused_kernel, scale=float(_SCALE))
+    t4 = tile_rows * _P // 128
     dd, fl, lv = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -154,13 +161,14 @@ def fused_capture_fm(block_i16, downsample: int, rotate: bool = True,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((_P * 2 * d, 2 * _P), lambda g: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((tile_rows, _P), lambda g: (g, 0),
+        out_specs=[pl.BlockSpec((t4, 128), lambda g: (g, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((grid, 4), lambda g: (0, 0),
                                 memory_space=pltpu.SMEM),
                    pl.BlockSpec((grid, 2), lambda g: (0, 0),
                                 memory_space=pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((rows, _P), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((rows * _P // 128, 128),
+                                        jnp.float32),
                    jax.ShapeDtypeStruct((grid, 4), jnp.float32),
                    jax.ShapeDtypeStruct((grid, 2), jnp.float32)],
         scratch_shapes=[pltpu.SMEM((1, 2), jnp.float32)],
@@ -170,13 +178,15 @@ def fused_capture_fm(block_i16, downsample: int, rotate: bool = True,
 
 
 def pick_tile_rows(k_per_block: int) -> int:
-    """Largest supported tile height (sublane-multiple divisor of the
-    per-block row count) so block seams land on tile starts; 0 = no
-    usable geometry (caller falls back to the unfused path)."""
+    """Largest supported tile height so block seams land on tile starts:
+    must divide the per-block row count AND be a multiple of 32 (the
+    kernel regroups each (T, 32) plane into full-lane (T/4, 128) views,
+    needing T/4 sublane-aligned); 0 = no usable geometry (caller falls
+    back to the unfused path)."""
     if k_per_block % _P:
         return 0
     rpb = k_per_block // _P
-    for cand in (256, 192, 144, 128, 96, 64, 48, 32, 16, 8):
+    for cand in (256, 224, 192, 160, 128, 96, 64, 32):
         if rpb % cand == 0:
             return cand
     return 0

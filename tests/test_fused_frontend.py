@@ -30,8 +30,8 @@ def _ref(prev, blk, d, kpb):
     return prev2, dsig, lv
 
 
-@pytest.mark.parametrize("kpb,m", [(4608, 3),     # 1 tile/block (T=144)
-                                   (9216, 2)])    # 2 tiles/block
+@pytest.mark.parametrize("kpb,m", [(4096, 3),     # 1 tile/block (T=128)
+                                   (9216, 2)])    # 3 tiles/block (T=96)
 def test_fused_matches_unfused(kpb, m):
     rng = np.random.default_rng(3)
     d = 14
@@ -55,7 +55,7 @@ def test_fused_chains_like_unfused():
     first seam uses the first chunk's last pair."""
     rng = np.random.default_rng(9)
     d = 14
-    kpb = 4608
+    kpb = 4096
     b1 = rng.integers(-8000, 8000, 2 * kpb * 2 * d).astype(np.int16)
     b2 = rng.integers(-8000, 8000, 2 * kpb * 2 * d).astype(np.int16)
     prev = jnp.zeros(2, jnp.float32)
@@ -72,9 +72,9 @@ def test_fused_chains_like_unfused():
 
 def test_tile_rows_picker():
     assert fused_frontend.pick_tile_rows(18432) == 192   # bench block
-    assert fused_frontend.pick_tile_rows(4608) == 144
-    assert fused_frontend.pick_tile_rows(4608 + 32) == 0  # 145 rows: none
-    assert fused_frontend.pick_tile_rows(100) == 0        # not % 32
+    assert fused_frontend.pick_tile_rows(4096) == 128
+    assert fused_frontend.pick_tile_rows(4608) == 0      # 144 rows: no *32
+    assert fused_frontend.pick_tile_rows(100) == 0       # not % 32
 
 
 def test_eligibility_gates():

@@ -35,7 +35,10 @@ def test_rows_matches_reference_chained(fast, slow, n):
         np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
                                    atol=2e-2, err_msg=f"chunk {i}")
         assert int(sa.phase) == int(sb.phase)
-        assert abs(float(sa.acc) - float(sb.acc)) < 2e-2
+        # the carried acc differences stream-scale cumsum values in the
+        # reference path, so its own f32 rounding is ~|acc|*1e-5 ulps
+        assert (abs(float(sa.acc) - float(sb.acc))
+                < 2e-2 + 1e-4 * abs(float(sa.acc)))
 
 
 def test_rows_nonzero_initial_phase():
