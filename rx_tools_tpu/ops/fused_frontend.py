@@ -64,7 +64,7 @@ def fused_eligible(cfg, k_per_block: int) -> bool:
             and pick_tile_rows(k_per_block) > 0)
 
 
-def _fused_kernel(x_ref, m_ref, d_ref, fl_ref, lv_ref, carry, *,
+def _fused_kernel(x_ref, mi_ref, mq_ref, d_ref, fl_ref, lv_ref, carry, *,
                   scale: float):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -76,16 +76,24 @@ def _fused_kernel(x_ref, m_ref, d_ref, fl_ref, lv_ref, carry, *,
         carry[0, 0] = 0.0
         carry[0, 1] = 0.0
 
-    v = x_ref[:].astype(jnp.float32) * scale            # (T, P*2D)
-    z = jnp.dot(v, m_ref[:], precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)     # (T, 2P)
-    t4 = z.shape[0] // (128 // _P)
-    # full-lane planar views: (T, P) row-major == (T*P/128, 128).  The
-    # first cut ran the epilogue on (T, 32) tiles and measured 9x below
-    # the plain frontend kernel — 3/4 of every VPU op wasted and two
-    # divides per sample (round-4, tools/chipsuite16.py first run)
-    zi = z[:, :_P].reshape(t4, 128)
-    zq = z[:, _P:].reshape(t4, 128)
+    # x_ref: (T4, 4*P*2D) int16 — four consecutive phase-groups per row,
+    # so (T4, 128) row-major IS the flat sample order.  Each 32-lane
+    # quarter of the planar outputs gets its own (T4, 2D*P) @ (2D*P, P)
+    # dot (same total MACs as the plain P=32 frontend kernel; Mosaic has
+    # no (T,32)->(T/4,128) shape cast — measured, and the first cut's
+    # (T, 32) epilogue wasted 3/4 of every VPU op: tools/chipsuite16.py)
+    v = x_ref[:].astype(jnp.float32) * scale            # (T4, 4*P*2D)
+    t4 = v.shape[0]
+    w = v.shape[1] // 4                                 # P*2D
+    hi = jax.lax.Precision.HIGHEST
+    zi = jnp.concatenate(
+        [jnp.dot(v[:, i * w:(i + 1) * w], mi_ref[:], precision=hi,
+                 preferred_element_type=jnp.float32) for i in range(4)],
+        axis=1)                                         # (T4, 128)
+    zq = jnp.concatenate(
+        [jnp.dot(v[:, i * w:(i + 1) * w], mq_ref[:], precision=hi,
+                 preferred_element_type=jnp.float32) for i in range(4)],
+        axis=1)
 
     # previous sample in row-major sample order: lane j-1 of the same
     # row; lane 0 takes lane 127 of the row above; (0, 0) takes the
@@ -150,16 +158,22 @@ def fused_capture_fm(block_i16, downsample: int, rotate: bool = True,
     assert (k % _P == 0 and rows % tile_rows == 0
             and tile_rows % 32 == 0), (k, rows, tile_rows)
     grid = rows // tile_rows
-    x = block_i16.reshape(rows, _P * 2 * d)
-    m = jnp.asarray(_fs4_decim_matrix(d, _P, bool(rotate)))
+    rows4 = rows // 4
+    t4 = tile_rows // 4
+    # four phase-groups per kernel row: (rows4, 128) output is the flat
+    # sample order (the regroup happens here in XLA, not in-kernel)
+    x = block_i16.reshape(rows4, 4 * _P * 2 * d)
+    m = _fs4_decim_matrix(d, _P, bool(rotate))
+    mi, mq = jnp.asarray(m[:, :_P]), jnp.asarray(m[:, _P:])
     kern = functools.partial(_fused_kernel, scale=float(_SCALE))
-    t4 = tile_rows * _P // 128
     dd, fl, lv = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((tile_rows, _P * 2 * d), lambda g: (g, 0),
+        in_specs=[pl.BlockSpec((t4, 4 * _P * 2 * d), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((_P * 2 * d, 2 * _P), lambda g: (0, 0),
+                  pl.BlockSpec((_P * 2 * d, _P), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((_P * 2 * d, _P), lambda g: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((t4, 128), lambda g: (g, 0),
                                 memory_space=pltpu.VMEM),
@@ -167,13 +181,12 @@ def fused_capture_fm(block_i16, downsample: int, rotate: bool = True,
                                 memory_space=pltpu.SMEM),
                    pl.BlockSpec((grid, 2), lambda g: (0, 0),
                                 memory_space=pltpu.SMEM)],
-        out_shape=[jax.ShapeDtypeStruct((rows * _P // 128, 128),
-                                        jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((rows4, 128), jnp.float32),
                    jax.ShapeDtypeStruct((grid, 4), jnp.float32),
                    jax.ShapeDtypeStruct((grid, 2), jnp.float32)],
         scratch_shapes=[pltpu.SMEM((1, 2), jnp.float32)],
         interpret=interpret,
-    )(x, m)
+    )(x, mi, mq)
     return dd.reshape(-1), fl, lv
 
 
