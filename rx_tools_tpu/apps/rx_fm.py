@@ -158,9 +158,41 @@ def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
     import os
     import jax
     import jax.numpy as jnp
-    from rx_tools_tpu.parallel import make_mesh, time_sharded_fm
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rx_tools_tpu.parallel import make_mesh, multihost, time_sharded_fm
     from rx_tools_tpu.parallel.timeshard import resampler_modulus
     from rx_tools_tpu.stream.scan import stack_blocks, scan_fm_blocks
+
+    # Multi-host (round-4): the mesh spans ALL devices of the job; every
+    # process reads the same (deterministic file/synth) source in
+    # lockstep, feeds only its addressable shards of each super-chunk
+    # (make_array_from_callback), and the halo ppermute / deemph
+    # all_gather ride the global mesh exactly as on one host.  Audio is
+    # replicated back (one small all_gather) and only the primary writes
+    # — so N-host output is byte-identical to 1-host at the same total
+    # device count.  Hardware sources stay single-process (each process
+    # would need its own radio feed).
+    from rx_tools_tpu.iq.sources import FileSource, SynthSource
+    n_proc = multihost.process_count()
+    if n_proc > 1 and not isinstance(src, (FileSource, SynthSource)):
+        log("-E shard: multi-process runs need a deterministic replayable "
+            "source (file=/synth=); hardware sources are single-process.")
+        raise SystemExit(1)
+
+    def _put_sharded(arr, mesh):
+        sh = NamedSharding(mesh, P("t", None, None))
+        if n_proc == 1:
+            return jax.device_put(jnp.asarray(arr), sh)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx])
+
+    def _fetch(mesh, *arrays):
+        if n_proc == 1:
+            return jax.device_get(arrays)
+        rep = NamedSharding(mesh, P())
+        reps = jax.jit(lambda *a: a,
+                       out_shardings=tuple(rep for _ in arrays))(*arrays)
+        return [np.asarray(r.addressable_data(0)) for r in reps]
 
     bs = fmchain.block_samples(cfg)
     s = max(1, len(jax.devices()))
@@ -184,7 +216,7 @@ def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
                     "(%d per shard).", s * m, s, m)
                 logged = True
             blocks = iq.reshape(s * m, 2 * bs)
-            sharded = jnp.asarray(blocks.reshape(s, m, -1))
+            sharded = _put_sharded(blocks.reshape(s, m, -1), mesh)
             if tail_halo is None:
                 audio, n_valid, carry = time_sharded_fm(
                     cfg, sharded, mesh=mesh, warmup=warmup)
@@ -197,13 +229,14 @@ def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
                     halo0=jnp.asarray(tail_halo),
                     block_offset_mod=jnp.int32(done % fmod),
                     iir_carry=iir_carry)
-            audio, n_valid, carry = jax.device_get((audio, n_valid, carry))
+            audio, n_valid, carry = _fetch(mesh, audio, n_valid, carry)
             iir_carry = jnp.asarray(carry[-1])
-            for sh in range(s):
-                for i in range(m):
-                    pcm = fmchain.audio_to_int16(
-                        audio[sh, i, : int(n_valid[sh, i])])
-                    out.write(pcm.tobytes())
+            if n_proc == 1 or multihost.is_primary():
+                for sh in range(s):
+                    for i in range(m):
+                        pcm = fmchain.audio_to_int16(
+                            audio[sh, i, : int(n_valid[sh, i])])
+                        out.write(pcm.tobytes())
             tail_halo = blocks[-warmup:].copy()
             done += s * m
             continue
@@ -242,9 +275,12 @@ def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
             st, audio, n_valid, _ = scan_fm_blocks(
                 cfg, st, jnp.asarray(blocks[j: j + TAIL]))
             audio, n_valid = jax.device_get((audio, n_valid))
-            for i in range(audio.shape[0]):
-                out.write(fmchain.audio_to_int16(
-                    audio[i, : int(n_valid[i])]).tobytes())
+            # every process replays the tail locally (deterministic);
+            # only the primary emits it
+            if n_proc == 1 or multihost.is_primary():
+                for i in range(audio.shape[0]):
+                    out.write(fmchain.audio_to_int16(
+                        audio[i, : int(n_valid[i])]).tobytes())
 
 
 def main(argv=None) -> int:
