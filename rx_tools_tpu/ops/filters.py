@@ -98,6 +98,41 @@ def _iir_scan_flat_mxu(avg, b, c: float, lanes: int = 128):
     return y[-1], y
 
 
+def _iir_scan_batch_mxu(avg, b, c: float, lanes: int = 128):
+    """Batched (C, M) minor-axis IIR scan via the triangular MXU matmul.
+
+    Per-channel boundaries stay intact because M %% lanes == 0: the
+    (C, M) stack reshapes row-major to (C*M/lanes, lanes) with every row
+    inside one channel; the row-carry scan then runs per channel over
+    the (C, M/lanes) row-end grid.  The channelizer's batched deemph was
+    the same Hillis-Steele construct the flat path replaced (~30x on the
+    stage, tools/chipsuite14/15.py)."""
+    cdim, m = b.shape
+    rows = m // lanes
+    bp = b.reshape(cdim * rows, lanes)
+    u = jnp.asarray(_scan_matrix(lanes, float(c)))
+    s_in = jax.lax.dot_general(bp, u, (((1,), (0,)), ((), ())),
+                               precision=_HI)
+    cl = float(c) ** lanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, s_in.shape, 1)
+    ends = jnp.sum(jnp.where(lane == lanes - 1, s_in, 0.0),
+                   axis=1).reshape(cdim, rows)
+    ends_scan = _iir_row_scan(ends, cl)                  # per-channel (C, R)
+    decay = jnp.asarray((np.float64(cl) **
+                         np.arange(rows)).astype(np.float32))
+    car = (jnp.concatenate(
+        [jnp.zeros((cdim, 1), b.dtype), ends_scan[:, :-1]], axis=1)
+        + decay[None, :] * avg[:, None])                 # (C, R)
+    cvec = jnp.asarray((np.float64(c) ** np.arange(1, lanes + 1)
+                        ).astype(np.float32))
+    y = (s_in.reshape(cdim, rows, lanes)
+         + car[:, :, None] * cvec[None, None, :]).reshape(cdim, m)
+    last = jnp.sum(jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, y.shape, 1) == m - 1, y, 0.0),
+        axis=1)
+    return last, y
+
+
 def _iir_scan_flat(avg, b, c: float, block: int = 512):
     """``y[n] = c*y[n-1] + b[n]`` (y[-1] = avg) over a flat stream, as a
     two-level blocked scan: in-row Hillis-Steele over ``block`` lanes
@@ -145,8 +180,10 @@ def deemph_filter(avg, x, deemph_a: int, axis: int = 0):
             # semantics pinned there, and CPU has no MXU to feed)
             return _iir_scan_flat_mxu(avg, b, c)
         return _iir_scan_flat(avg, b, c)
-    # batched (C, M): scan along the minor axis directly
+    # batched (C, M): scan along the minor axis
     m = x.shape[-1]
+    if jax.default_backend() == "tpu" and m % 128 == 0:
+        return _iir_scan_batch_mxu(avg, b, c)
     s_in = _iir_row_scan(b, c)
     cvec = jnp.asarray((np.float64(c) ** np.arange(1, m + 1)
                         ).astype(np.float32))
