@@ -48,16 +48,22 @@ _P = 32
 _PI4 = np.float32(1 << 12)
 _PI34 = np.float32(3 * (1 << 12))
 
-# RX_FUSED=0 keeps the unfused multi-op front (A/B escape hatch; read
-# once at import — trace-time env reads bake into jit caches)
-_OFF = __import__("os").environ.get("RX_FUSED", "") == "0"
+# OPT-IN (RX_FUSED=1, read once at import): the round-4 chain A/B put
+# the fused front BEHIND the unfused multi-op front (33.3 vs 40.2 GB/s,
+# tools/chipsuite16.py) — on this backend every Pallas frontend variant
+# measures in the same ~26-40 GB/s band as the whole chain, i.e. the
+# kernel class, not the op count, is the limit (see chipsuite17's
+# scheme-control experiment).  The kernel stays as a measured A/B
+# reference and a fusion template.
+_ON = __import__("os").environ.get("RX_FUSED", "") == "1"
 
 
 def fused_eligible(cfg, k_per_block: int) -> bool:
-    """True when the one-kernel front covers this config: TPU backend,
-    boxcar decimation, FM with the fast-atan discriminator, squelch off,
-    no raw DC block, and a tile-alignable geometry."""
-    return (not _OFF and jax.default_backend() == "tpu"
+    """True when the one-kernel front covers this config AND the user
+    opted in (RX_FUSED=1): TPU backend, boxcar decimation, FM with the
+    fast-atan discriminator, squelch off, no raw DC block, and a
+    tile-alignable geometry."""
+    return (_ON and jax.default_backend() == "tpu"
             and cfg.mode == "fm" and cfg.custom_atan == 1
             and cfg.squelch_level == 0 and not cfg.dc_block_raw
             and not cfg.downsample_passes and cfg.fir_quality <= 9

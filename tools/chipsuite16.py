@@ -105,6 +105,7 @@ def main():
 
     if "chain" in phases:
         from rx_tools_tpu.ops import resample as _resample
+        fused_frontend._ON = True
         engine_rate(fmchunk.fm_chunk_step, base, "ch_fused")
         # rows-resampler off (old cumsum+row-gather) on top of the fused front
         _resample._ROWS_OFF = True
@@ -116,13 +117,10 @@ def main():
             _resample._ROWS_OFF = False
         # unfused A/B in the same session: disable via the module flag,
         # distinct cfg forces a fresh trace
-        fused_frontend._OFF = True
-        try:
-            engine_rate(fmchunk.fm_chunk_step,
-                        dataclasses.replace(base, output_scale=2),
-                        "ch_unfused")
-        finally:
-            fused_frontend._OFF = False
+        fused_frontend._ON = False
+        engine_rate(fmchunk.fm_chunk_step,
+                    dataclasses.replace(base, output_scale=2),
+                    "ch_unfused")
 
     if "kern" in phases:
         flat = dd.reshape(NPOOL, BL * 2 * n)
