@@ -57,9 +57,14 @@ _SCALE = np.float32(128.0 / 32767.0)
 # trace time, so its outcome is baked into jit compilation caches —
 # reading the env per-trace would make a later toggle silently
 # ineffective for already-traced programs while appearing to work for
-# new ones (advisor finding, round 3).  Set RX_FE=masked before
-# importing rx_tools_tpu to force the pure-XLA masked-reduce path.
-_FE_FORCE_MASKED = __import__("os").environ.get("RX_FE", "") == "masked"
+# new ones (advisor finding, round 3).  RX_FE=masked forces the pure-XLA
+# masked-reduce path, RX_FE=pallas the fused-convert kernel; the default
+# is the plain XLA block-banded dot (round-4 A/B, tools/chipsuite18.py:
+# in-chain 53.8 GB/s vs 39.4 Pallas vs 18.9 masked — the pallas_call
+# streaming pipeline itself caps at ~34 GB/s on this backend while XLA
+# reads the same chunks at 130-155).
+_FE_CHOICE = __import__("os").environ.get("RX_FE", "mm")
+_FE_FORCE_MASKED = _FE_CHOICE == "masked"
 
 
 def _kernel(x_ref, out_ref, *, downsample: int, tile_rows: int,
@@ -151,14 +156,16 @@ def capture_frontend_planar(block_i16, downsample: int, rotate: bool = True):
 
     THE production frontend dispatch (both chain engines call this).  On
     TPU, when the output length admits a phase-block size >= 8, dispatches
-    to the Pallas fused-convert MXU matmul
-    (``frontend_mxu.capture_frontend_mm_pallas``) — the round-3b fair A/B
-    (no-perturbation distinct-chunk scheme, tools/chipsuite12.py) measured
-    the Pallas-frontend chain at 15.75 GB/s vs 10.3 for the masked
-    reduce in the same session.  ``RX_FE=masked`` (read once at module
-    import — see ``_FE_FORCE_MASKED``) forces the masked path; the
-    backend check runs at trace time, i.e. the choice targets the
-    process's default backend and is baked into the jit cache.
+    to the plain XLA block-banded dot (``frontend_mxu.capture_frontend_mm``)
+    — the round-4 A/B (tools/chipsuite18.py): in-chain 53.8 GB/s vs 39.4
+    for the round-3 Pallas fused-convert kernel vs 18.9 masked.  The
+    Pallas kernel's own streaming pipeline caps at ~34 GB/s on this
+    backend (a trivial convert+rowsum kernel reads no faster), which
+    retro-explains round 3's kernel-vs-masked win: both sat under the
+    same lid.  ``RX_FE=masked`` / ``RX_FE=pallas`` (read once at module
+    import) force the other paths; the backend check runs at trace time,
+    i.e. the choice targets the process's default backend and is baked
+    into the jit cache.
 
     Masked-sum fallback (see :func:`_fs4_decim_masks`): ~39 GB/s on the
     chip vs 0.6 GB/s for the previous rotate-then-reshape composition —
@@ -173,7 +180,10 @@ def capture_frontend_planar(block_i16, downsample: int, rotate: bool = True):
         k = block_i16.shape[0] // (2 * d)
         p = frontend_mxu._pick_p(k, d, bool(rotate))
         if p >= 8:
-            return frontend_mxu.capture_frontend_mm_pallas(
+            if _FE_CHOICE == "pallas":
+                return frontend_mxu.capture_frontend_mm_pallas(
+                    block_i16, d, bool(rotate), p=p)
+            return frontend_mxu.capture_frontend_mm(
                 block_i16, d, bool(rotate), p=p)
     y = block_i16.astype(jnp.float32) * _SCALE            # flat (2N,)
     g = y.reshape(-1, 2 * d)                              # (K, 2D)
