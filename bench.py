@@ -74,7 +74,13 @@ def main():
         os.environ.get("RX_BENCH_BLOCK", 258048)))
     blocks_per_chunk = 12
     CHUNKS_PER_PASS = 4
-    K1, K2 = 1, 3
+    # K2=5: the marginal covers 4 extra passes (~200 MB) — short marginals
+    # under-report because the chip ramps after each RPC-idle gap (round-4:
+    # the K2=3 marginal read ~30% below the K2=5 one back-to-back, while a
+    # 41-pass fori loop reads 760 GB/s); production streaming is
+    # continuous, so the steadier longer-program marginal is the honest
+    # rate (tools/chipsuite17/19.py)
+    K1, K2 = 1, 5
     rng = np.random.default_rng(0)
     data = rng.integers(-16000, 16000,
                         (K2 * CHUNKS_PER_PASS, blocks_per_chunk,
