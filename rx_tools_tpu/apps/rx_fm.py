@@ -82,6 +82,11 @@ Experimental options:
 \t\toutput to the snapshot point so the result is bit-identical
 \t\tto an uninterrupted run (single-frequency only)]
 \t[--blocks N  stop after N input blocks (offline processing)]
+\t[--int-audio  bit-exact integer fidelity tier: the reference's integer
+\t\taudio chain (trunc-cast rescale, integer discriminators, deemph
+\t\trounding-toward-average, truncating DC block and resampler) runs
+\t\ton device and the PCM matches the C bit-for-bit; fm(-A
+\t\tfast/lut/ale)/am/usb/lsb, boxcar path, no squelch]
 
 Produces signed 16 bit ints, use Sox or aplay to hear them.
 """
@@ -283,6 +288,31 @@ def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
                         audio[i, : int(n_valid[i])]).tobytes())
 
 
+def _run_int_audio(cfg, src, out, max_blocks: int = 0) -> None:
+    """``--int-audio``: the bit-exact integer tier (models/fmint.py).
+
+    Block-streaming host loop: device integer demod, host float64 seam
+    patch (the C's only double-transcendental stage), device integer
+    audio post; PCM == the C model bit-for-bit (tests/test_intaudio.py).
+    Correctness tier — sequential integer deemph et al.; use the float
+    plane for throughput."""
+    from rx_tools_tpu.models import fmint
+    from rx_tools_tpu.stream.scan import stack_blocks
+
+    bs = fmchain.block_samples(cfg)
+    st = fmint.init_state()
+    done = 0
+    log("Bit-exact integer audio tier active (block %d).", bs)
+    for iq in _iter_pieces(src, 8 * 2 * bs):
+        blocks = stack_blocks(iq, bs)
+        for i in range(blocks.shape[0]):
+            st, audio = fmint.int_chain_block(cfg, st, blocks[i])
+            out.write(audio.tobytes())
+            done += 1
+            if max_blocks and done >= max_blocks:
+                return
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     common.select_platform()
@@ -292,7 +322,8 @@ def main(argv=None) -> int:
     try:
         opts, args = getopt.getopt(
             argv, "a:C:d:f:g:s:b:l:L:o:t:r:p:E:q:F:A:M:c:h:w:v",
-            ["checkpoint=", "checkpoint-every=", "resume=", "blocks="])
+            ["checkpoint=", "checkpoint-every=", "resume=", "blocks=",
+             "int-audio"])
     except getopt.GetoptError as e:
         log("%s", str(e))
         usage()
@@ -324,6 +355,7 @@ def main(argv=None) -> int:
     checkpoint_every = 0
     resume_path = None
     max_blocks = None
+    int_audio = False
 
     for opt, arg in opts:
         if opt == "-f":
@@ -392,6 +424,8 @@ def main(argv=None) -> int:
             resume_path = arg
         elif opt == "--blocks":
             max_blocks = int(arg)
+        elif opt == "--int-audio":
+            int_audio = True
         elif opt == "-h":
             usage()
 
@@ -505,6 +539,31 @@ def main(argv=None) -> int:
         header_bytes = 44
         if not resuming_file:      # header already present when resuming
             write_wav_header(out, cfg.audio_rate(), stereo=(mode == "raw"))
+
+    # --- bit-exact integer audio tier (--int-audio) -----------------------
+    if int_audio:
+        from rx_tools_tpu.models import fmint
+        if len(freqs) > 1 or "shard" in enables:
+            log("--int-audio is a single-frequency offline tier "
+                "(no scanning, no -E shard).")
+            return 1
+        if not fmint.supports(cfg):
+            log("--int-audio covers fm (-A fast/lut/ale), am, usb, lsb on "
+                "the boxcar path without squelch/raw-DC; adjust flags or "
+                "drop --int-audio for the float plane.")
+            return 1
+        with common.suppress_stdout():
+            src.activate()
+        try:
+            _run_int_audio(cfg, src, out, max_blocks)
+        finally:
+            src.deactivate()
+            src.close()
+            if out is not sys.stdout.buffer:
+                out.close()
+            else:
+                out.flush()
+        return 0
 
     # --- offline sharded mode (-E shard): time axis over the mesh ---------
     if "shard" in enables:
