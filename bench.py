@@ -180,6 +180,42 @@ def main():
 
     ceiling = measure_ceiling()
 
+    # the STREAM ceiling: the same unrolled distinct-chunk read pattern
+    # the chain itself uses, with a pure xor-reduce body — what this chip
+    # delivers to ANY program consuming fresh chunks (the fori ceiling
+    # above reads one resident array in a loop and measures ~5x higher;
+    # round-4 control experiment, tools/chipsuite17.py).  The chain's
+    # fraction of THIS number is its construct-efficiency.
+    def measure_stream_ceiling():
+        def make(n_passes):
+            @jax.jit
+            def run(pool):
+                acc = jnp.zeros((), jnp.int32)
+                for r in range(n_passes):
+                    for c in range(CHUNKS_PER_PASS):
+                        v = jnp.bitwise_xor(
+                            pool[r * CHUNKS_PER_PASS + c].reshape(-1),
+                            jnp.int16(r * CHUNKS_PER_PASS + c + 1))
+                        acc = acc + jnp.sum(v.astype(jnp.int32))
+                return acc
+            return run
+        r1, r2 = make(K1), make(K2)
+        int(r1(data_dev)); int(r2(data_dev))
+        meds = []
+        for _ in range(3):
+            t1s, t2s = [], []
+            for _ in range(10):
+                t0 = time.perf_counter(); int(r1(data_dev))
+                t1s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter(); int(r2(data_dev))
+                t2s.append(time.perf_counter() - t0)
+            dt = (statistics.median(t2s) - statistics.median(t1s)) / (K2 - K1)
+            if dt > 0:
+                meds.append(work * CHUNKS_PER_PASS * 4.0 / dt)
+        return statistics.median(meds) if meds else 0.0
+
+    stream_ceiling = measure_stream_ceiling()
+
     # Round gating (round-3 verdict: BENCH_r03 shipped 0.0 / 51.0 / 231.7 G
     # degenerate rounds).  A round is PHYSICAL only if the marginal stayed
     # positive (<= 0 means RPC jitter swamped it) and the implied read rate
@@ -221,6 +257,9 @@ def main():
         "ceiling_gbs": round(ceiling / 1e9, 1),
         "fraction_of_ceiling": round(chain_gbs * 1e9 / ceiling, 3)
         if ceiling else 0.0,
+        "stream_ceiling_gbs": round(stream_ceiling / 1e9, 1),
+        "fraction_of_stream_ceiling": round(
+            chain_gbs * 1e9 / stream_ceiling, 3) if stream_ceiling else 0.0,
         "engine": engine,
         "rounds_gsps": grounds,
         "spread_gsps": [min(grounds), max(grounds)] if grounds else [],

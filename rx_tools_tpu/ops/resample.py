@@ -373,16 +373,12 @@ def resample_rational_batch(state: ResampleState, x, fast: int, slow: int):
         raise ValueError(
             f"block of {n} samples overflows the int32 resampler phase for "
             f"ratio {fast}/{slow}; split the stream into smaller chunks")
-    fr, sr = int(fast) // g, int(slow) // g
-    if (not _ROWS_OFF and jax.default_backend() == "tpu" and n % 128 == 0
-            and fr // sr + 1 <= 16):
-        # round-4: the gather-free row formulation, vmapped over channels
-        # (the emission index math is data-independent and identical per
-        # channel; XLA hoists the shared parts out of the batch)
-        st2, y, nv = jax.vmap(
-            lambda a, p, xc: _resample_rows(ResampleState(a, p), xc, fr, sr)
-        )(state.acc, state.phase, x)
-        return (ResampleState(st2.acc, st2.phase), y, nv[0])
+    # NOTE: a vmapped _resample_rows was tried here and REVERTED — it cut
+    # the 64-channel PFB step 4.07 -> 1.43 GB/s (round-4 A/B,
+    # /tmp/cs21b recipe in tools/chipsuite21.py history): under vmap the
+    # shared index math duplicates per channel and the windowed take
+    # lowers to a worse gather than the shared-index row gather below.
+    # The gather-free rows formulation serves the FLAT path only.
     cap = n * slow // fast + 2
     divisor = jnp.float32(1.0 / (fast // slow))
     fast, slow = int(fast) // g, int(slow) // g
