@@ -374,11 +374,11 @@ def resample_rational_batch(state: ResampleState, x, fast: int, slow: int):
             f"block of {n} samples overflows the int32 resampler phase for "
             f"ratio {fast}/{slow}; split the stream into smaller chunks")
     # NOTE: a vmapped _resample_rows was tried here and REVERTED — it cut
-    # the 64-channel PFB step 4.07 -> 1.43 GB/s (round-4 A/B,
-    # /tmp/cs21b recipe in tools/chipsuite21.py history): under vmap the
-    # shared index math duplicates per channel and the windowed take
-    # lowers to a worse gather than the shared-index row gather below.
-    # The gather-free rows formulation serves the FLAT path only.
+    # the 64-channel PFB step 4.07 -> 1.43 GB/s (round-4 A/B, recorded in
+    # docs/PERF.md): under vmap the shared index math duplicates per
+    # channel and the windowed take lowers to a worse gather than the
+    # shared-index row gather below.  The gather-free rows formulation
+    # serves the FLAT path only.
     cap = n * slow // fast + 2
     divisor = jnp.float32(1.0 / (fast // slow))
     fast, slow = int(fast) // g, int(slow) // g
