@@ -126,6 +126,47 @@ def capture_frontend_mm(block_i16, downsample: int, rotate: bool = True,
     return zi, zq
 
 
+def capture_frontend_mm_i8(block_i16, downsample: int, rotate: bool = True,
+                           p: int | None = None):
+    """``(2N,) int16 -> ((K,), (K,)) float32`` planar, via TWO int8 MXU
+    dots (round-4 probe).
+
+    The f32 dot pays a converted-f32 materialization (10 B of HBM per
+    2 B input).  Splitting each int16 into (hi, lo-128) int8 planes and
+    dotting both against the {+1, 0, -1} mask matrix in the MXU's native
+    int8 mode halves that intermediate traffic and accumulates EXACTLY in
+    int32 (x = 256*hi + (lo-128) + 128; the +128 correction is the
+    precomputed column sum of the mask matrix) — integer-exact like the
+    C's own int sums, then one scale to the 8-bit float range.
+
+    MEASURED AND REJECTED (round-4, /tmp recipe recorded in docs/PERF.md):
+    fe 17.9 vs 34.9 GB/s for the f32 dot, chain 23.4 vs 42.2 — the int8
+    plane materializations land in the same ~36 GB/s narrow-store class
+    as int16 stores on this backend, eating the traffic win.  Kept as a
+    documented negative result and integer-exactness reference.
+    """
+    d = int(downsample)
+    k = block_i16.shape[0] // (2 * d)
+    if p is None:
+        p = _pick_p(k, d, rotate)
+    if p == 1:
+        from rx_tools_tpu.ops.pallas_frontend import capture_frontend_planar
+        return capture_frontend_planar(block_i16, downsample, rotate)
+    x = block_i16.reshape(k // p, p * 2 * d)
+    hi = (x >> 8).astype(jnp.int8)
+    lo = (jnp.bitwise_and(x, 255) - 128).astype(jnp.int8)
+    m = _fs4_decim_matrix(d, p, bool(rotate))
+    m8 = jnp.asarray(m.astype(np.int8))
+    csum = jnp.asarray(128 * m.sum(axis=0).astype(np.int32))     # (2P,)
+    dims = (((1,), (0,)), ((), ()))
+    zhi = jax.lax.dot_general(hi, m8, dims,
+                              preferred_element_type=jnp.int32)
+    zlo = jax.lax.dot_general(lo, m8, dims,
+                              preferred_element_type=jnp.int32)
+    out = (zhi * 256 + zlo + csum[None, :]).astype(jnp.float32) * _SCALE
+    return out[:, :p].reshape(-1), out[:, p:].reshape(-1)
+
+
 def _mm_kernel(x_ref, m_ref, o_ref, *, scale: float):
     # Mosaic only lowers Precision.HIGHEST (f32) dots; HIGH raises
     v = x_ref[:].astype(jnp.float32) * scale          # int16 tile -> f32 VMEM
