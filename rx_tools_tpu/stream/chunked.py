@@ -28,6 +28,14 @@ from rx_tools_tpu.models import fmchain
 from rx_tools_tpu.stream.pipeline import RunnerStats
 from rx_tools_tpu.stream.scan import scan_fm_blocks
 
+# RX_ENGINE=flat routes eligible chunks through the scan-free flat engine
+# (models/fmchunk.py) — measurably faster than the per-block engine on
+# TPU (bench.py reports both; round-4 official: flat 9.5 G vs scan
+# 5.8 G).  Opt-in: the engines agree to ~1e-4 but not bit-for-bit, so
+# the default CLI output class stays the per-block one (read once at
+# import — trace-time env reads bake into jit caches).
+_FLAT_ENGINE = __import__("os").environ.get("RX_ENGINE", "") == "flat"
+
 
 class ChunkedFmRunner:
     """Drive the FM chain over a source in chunks of ``chunk`` blocks."""
@@ -58,6 +66,12 @@ class ChunkedFmRunner:
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = int(checkpoint_every)
         self._last_ckpt_blocks = 0
+        # flat engine: one parallel program per chunk (no per-block
+        # squelch gating, so only squelch-off configs; -L level prints
+        # then tick once per chunk instead of once per block)
+        from rx_tools_tpu.models import fmchunk
+        self._flat = (_FLAT_ENGINE and fmchunk.supports(cfg)
+                      and cfg.squelch_level == 0)
 
     def stop(self) -> None:
         self._stop = True
@@ -107,10 +121,18 @@ class ChunkedFmRunner:
         doing it at startup keeps the steady-state stream glitch-free.
         """
         blocks = np.zeros((self.chunk, 2 * self.block_size), np.int16)
+        if self._flat:
+            from rx_tools_tpu.models import fmchunk
+            st, audio, n_valid, levels = fmchunk.fm_chunk_step(
+                self.cfg, self.state, blocks)
+            jax.device_get((audio[:1], n_valid, levels))
+            return
         st, audio, n_valid, levels = scan_fm_blocks(self.cfg, self.state, blocks)
         jax.device_get((audio[0, :1], n_valid, levels))
 
     def run(self, max_blocks: int | None = None) -> RunnerStats:
+        if self._flat:
+            return self._run_flat(max_blocks)
         t0 = time.perf_counter()
         pending = None          # ((audio, n_valid, levels), ckpt snapshot)
         while not self._stop:
@@ -133,6 +155,49 @@ class ChunkedFmRunner:
             self._maybe_checkpoint(*pending[1])
         self.stats.wall_s = time.perf_counter() - t0
         return self.stats
+
+    def _run_flat(self, max_blocks: int | None = None) -> RunnerStats:
+        """RX_ENGINE=flat: whole-chunk parallel programs.  Full chunks go
+        through ``fm_chunk_step`` (flat audio + per-chunk emit); partial
+        tail chunks fall back to the per-block engine — the carried state
+        pytree is engine-interoperable (golden-tested identical)."""
+        from rx_tools_tpu.models import fmchunk
+        t0 = time.perf_counter()
+        pending = None
+        while not self._stop:
+            blocks, n_read = self._read_chunk(max_blocks)
+            if blocks is None:
+                break
+            flat = blocks.shape[0] == self.chunk
+            if flat:
+                self.state, audio, n_valid, levels = fmchunk.fm_chunk_step(
+                    self.cfg, self.state, blocks)
+            else:
+                self.state, audio, n_valid, levels = scan_fm_blocks(
+                    self.cfg, self.state, blocks)
+            self.stats.blocks += blocks.shape[0]
+            self.stats.samples_in += n_read
+            snap = (self.state, self.stats.blocks, self.stats.samples_in)
+            if pending is not None:
+                self._drain_any(*pending[0])
+                self._maybe_checkpoint(*pending[1])
+            pending = ((flat, audio, n_valid, levels), snap)
+            if max_blocks is not None and self.stats.blocks >= max_blocks:
+                break
+        if pending is not None:
+            self._drain_any(*pending[0])
+            self._maybe_checkpoint(*pending[1])
+        self.stats.wall_s = time.perf_counter() - t0
+        return self.stats
+
+    def _drain_any(self, flat, audio, n_valid, levels):
+        if not flat:
+            self._drain(audio, n_valid, levels)
+            return
+        audio, n_valid, levels = jax.device_get((audio, n_valid, levels))
+        a = audio[: int(n_valid)]
+        self.stats.samples_out += a.shape[0]
+        self.sink(a, float(levels[-1]))
 
     # ------------------------------------------------------------------
     def _read_chunk(self, max_blocks):

@@ -126,3 +126,40 @@ def test_chunked_matches_scan():
     _, audio, nv, _ = scan_fm_blocks(cfg, st, jnp.asarray(blocks))
     scan_audio = gather_valid(np.asarray(audio), np.asarray(nv))
     np.testing.assert_allclose(runner_audio, scan_audio, atol=1e-3)
+
+
+def test_flat_engine_runner_matches_default(monkeypatch):
+    """RX_ENGINE=flat: the runner's flat-engine path (whole-chunk
+    parallel programs, per-chunk emit) produces the same audio stream as
+    the default per-block engine within the engines' established
+    tolerance, including a partial tail chunk (which falls back to the
+    per-block engine on the interoperable state)."""
+    import numpy as np
+    import rx_tools_tpu.stream.chunked as chunked_mod
+    from rx_tools_tpu.iq.sources import make_source
+    from rx_tools_tpu.models import fmchain
+    from rx_tools_tpu.stream.chunked import ChunkedFmRunner
+
+    cfg = fmchain.FmConfig(mode="fm", rate_in=170000, rate_out=170000,
+                           rate_out2=32000, downsample=6, custom_atan=1,
+                           deemph_a=13, squelch_level=0.0)
+    n = fmchain.block_samples(cfg)
+
+    def run(flat: bool):
+        monkeypatch.setattr(chunked_mod, "_FLAT_ENGINE", flat)
+        src = make_source("synth=fm,det=1,seed=9,audio=1k,dev=50k,amp=0.6")
+        src.set_sample_rate(170000 * 6)
+        src.set_frequency(100e6)
+        src.activate()
+        out = []
+        r = ChunkedFmRunner(cfg, src, lambda a, lvl: out.append(a.copy()),
+                            chunk=4, block_size=n)
+        r.run(max_blocks=11)          # 2 full chunks + a 3-block tail
+        src.close()
+        return np.concatenate(out), r.stats
+
+    a0, s0 = run(False)
+    a1, s1 = run(True)
+    assert s0.blocks == s1.blocks == 11
+    assert a0.shape == a1.shape
+    np.testing.assert_allclose(a1, a0, rtol=1e-4, atol=0.05)
