@@ -80,10 +80,10 @@ def test_mm_bench_geometry_exactness_class(k):
                                  (32 * 200, 32),   # ragged: 200 % 128 != 0
                                  (8 * 5, 8)])      # tiny single ragged tile
 def test_mm_pallas_interpret_matches_planar(k, p):
-    """The PRODUCTION TPU frontend (capture_frontend_planar dispatches to
-    capture_frontend_mm_pallas on TPU) exercised via the Pallas
-    interpreter so CPU CI covers the kernel: fused scale, grid masking,
-    ragged last tile (advisor finding, round 3)."""
+    """The fused-convert Pallas kernel (round-3 production frontend; now
+    the RX_FE=pallas alternative after round-4's XLA-dot inversion)
+    exercised via the interpreter so CPU CI covers the kernel: fused
+    scale, grid masking, ragged last tile (advisor finding, round 3)."""
     rng = np.random.default_rng(17)
     d = 14
     blk = _blk(rng, d * k)
@@ -133,3 +133,35 @@ def test_pfb_filterbank_mxu_chains_blocks():
                                rtol=1e-4, atol=1e-4 * scale)
     np.testing.assert_allclose(np.asarray(qd), np.asarray(qb),
                                rtol=1e-4, atol=1e-4 * scale)
+
+
+def test_mm_i8_split_integer_exact():
+    """The (rejected-for-speed) int8-split dot is kept as an
+    integer-exactness reference: its int32 accumulation must reproduce
+    the exact integer mask sums at full int16 range."""
+    rng = np.random.default_rng(23)
+    d = 14
+    blk = rng.integers(-32768, 32767, 2 * d * 32 * 24).astype(np.int16)
+    zi0, zq0 = pallas_frontend.capture_frontend_planar(blk, d, True)
+    zi1, zq1 = frontend_mxu.capture_frontend_mm_i8(blk, d, True)
+    tol = dict(rtol=2e-5, atol=5e-3)
+    np.testing.assert_allclose(zi1, zi0, **tol)
+    np.testing.assert_allclose(zq1, zq0, **tol)
+    # integer exactness: un-scaling recovers exact integers
+    scale = 128.0 / 32767.0
+    v = np.asarray(zi1, np.float64) / scale
+    np.testing.assert_allclose(v, np.round(v), atol=1e-6)
+
+
+def test_mm_pallas2_two_output_matches_planar():
+    """The two-output kernel variant (rejected in-chain, kept as an A/B
+    reference) stays correct, via the interpreter."""
+    rng = np.random.default_rng(29)
+    d = 14
+    blk = rng.integers(-32000, 32000, 2 * d * 32 * 130).astype(np.int16)
+    zi0, zq0 = pallas_frontend.capture_frontend_planar(blk, d, True)
+    zi1, zq1 = frontend_mxu.capture_frontend_mm_pallas2(
+        blk, d, True, interpret=True)
+    tol = dict(rtol=2e-5, atol=5e-3)
+    np.testing.assert_allclose(zi1, zi0, **tol)
+    np.testing.assert_allclose(zq1, zq0, **tol)
