@@ -161,3 +161,45 @@ def test_hop_sharded_sweep_exact():
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(acc_sh.samples),
                                   np.asarray(acc_u.samples))
+
+
+def test_time_sharded_superchunk_continuation_exact():
+    """Round-4: TWO super-chunks with cont=True + the exact iir_carry
+    reproduce the unsharded run on every shard of BOTH chunks — the
+    super-chunk seam is as exact as the interior shard boundaries."""
+    cfg = _cfg()
+    mesh = make_mesh(S, axis="t")
+    n = fmchain.block_samples(cfg, target=480)
+    m = 4
+    rng = np.random.default_rng(21)
+    iq = rng.integers(-2000, 2000, 2 * 2 * S * m * n).astype(np.int16)
+    blocks = scan_mod.stack_blocks(iq, n)              # (2*S*m, 2n)
+    from rx_tools_tpu.parallel.timeshard import resampler_modulus
+    fmod = resampler_modulus(cfg)
+
+    # unsharded truth over the whole stream
+    st = fmchain.init_state(cfg)
+    _, au, nvu, _ = scan_mod.scan_fm_blocks(cfg, st, jnp.asarray(blocks))
+    ref = np.concatenate([np.asarray(au)[i, : int(nvu[i])]
+                          for i in range(blocks.shape[0])])
+
+    warmup = 2
+    c1 = blocks[: S * m].reshape(S, m, -1)
+    c2 = blocks[S * m:].reshape(S, m, -1)
+    a1, nv1, carry1 = time_sharded_fm(cfg, jnp.asarray(c1), mesh=mesh,
+                                      warmup=warmup)
+    halo = blocks[S * m - warmup: S * m]
+    a2, nv2, _ = time_sharded_fm(cfg, jnp.asarray(c2), mesh=mesh,
+                                 warmup=warmup, cont=True,
+                                 halo0=jnp.asarray(halo),
+                                 block_offset_mod=jnp.int32((S * m) % fmod),
+                                 iir_carry=jnp.asarray(carry1)[-1])
+    got = []
+    for a, nv in ((a1, nv1), (a2, nv2)):
+        a, nv = np.asarray(a), np.asarray(nv)
+        for s in range(S):
+            for i in range(m):
+                got.append(a[s, i, : int(nv[s, i])])
+    got = np.concatenate(got)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=0.1)

@@ -53,3 +53,15 @@ def test_rows_nonzero_initial_phase():
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=2e-2)
     assert int(s1.phase) == int(s2.phase)
     assert abs(float(s1.acc) - float(s2.acc)) < 2e-2
+
+
+def test_cumsum_mxu_matches_jnp():
+    """The triangular-MXU blocked cumsum (kept as a measured alternative;
+    not used in the production resampler) stays correct."""
+    rng = np.random.default_rng(31)
+    for n in (4096, 4097, 300000):
+        x = jnp.asarray(rng.normal(0, 100, n).astype(np.float32))
+        got = np.asarray(resample._cumsum_mxu(x))
+        want = np.asarray(jnp.cumsum(x))
+        scale = np.abs(want).max() + 1
+        np.testing.assert_allclose(got, want, atol=2e-6 * scale)
