@@ -323,6 +323,13 @@ def main(argv=None) -> int:
     start = time.time()
     next_tick = start + interval
     rc = 0
+    # deterministic work accounting (one line at exit): each process reads
+    # ONLY its own hop slice, so in an N-process job the per-process
+    # hop-read count is exactly its share of the plan — the structural
+    # fact behind multi-host scaling, assertable without wall clocks
+    # (tests/test_multihost_power.py)
+    sweep_passes = 0
+    hop_reads = 0
     # stdout stays suppressed through activation (driver chatter must not
     # reach the data plane; rtl_fm.c:880, convenience.c:447-466)
     with common.suppress_stdout():
@@ -349,7 +356,9 @@ def main(argv=None) -> int:
                 blocks[i, : 2 * n] = buf[: 2 * n]
                 if 2 * n < t.buf_len:
                     blocks[i, 2 * n:] = 0
+                hop_reads += 1
             if not aborted:
+                sweep_passes += 1
                 if int_fft:
                     # bit-exact plane: device fix_fft per segment, exact
                     # int64 accumulation host-side
@@ -411,6 +420,8 @@ def main(argv=None) -> int:
             if want_stop:
                 break
     finally:
+        log("Sweep summary: %d passes, %d hop reads (%d hops owned of %d).",
+            sweep_passes, hop_reads, len(my_tunes), len(tunes))
         src.deactivate()
         src.close()
         if out is not sys.stdout.buffer:
