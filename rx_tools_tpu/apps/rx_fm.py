@@ -267,10 +267,11 @@ def _run_offline_sharded(cfg, src, out, warmup: int = 2) -> None:
                         exact_iir_supported)
                     if exact_iir_supported(cfg):
                         # exact IIR seam: override the warm-up approximated
-                        # deemph avg / window remainder with the sharded
-                        # run's exact carry
+                        # deemph avg / window remainder / audio-DC average
+                        # with the sharded run's exact carry
                         st = st._replace(
                             deemph_avg=jnp.float32(iir_carry[0]),
+                            dc_avg=jnp.float32(iir_carry[2]),
                             resamp=st.resamp._replace(
                                 acc=jnp.float32(iir_carry[1])))
         # fixed-size sub-chunks: the traced block loop unrolls, so shapes

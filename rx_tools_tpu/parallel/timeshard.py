@@ -31,11 +31,21 @@ Boundary semantics (documented per SURVEY.md §7 "hard parts"):
   (``now_lpr``) is recovered exactly by replaying the halo's audio through
   the resampler with the halo-start phase (the partial window never spans
   more than ~fast/slow samples, far less than one halo block).
-- DC-block averages (``-E dc``/``-E rdc``) remain warm-up approximated
-  (transient bounded by ``(9/10)**warmup`` per block): the raw EMA feeds
-  the *nonlinear* discriminator so no post-hoc linear correction exists;
-  configs with DC blocks take the legacy warm-up path
-  (:func:`exact_iir_supported` gates).
+- Audio DC block (``-E dc``, round-5): ``dc_block_audio`` is a *linear*
+  per-block EMA applied after the (nonlinear) discriminator
+  (``rtl_fm.c:684-697``), so its cross-shard state is carried exactly
+  like deemph.  Because its per-block means are taken over the
+  deemph-corrected audio, and that correction is itself linear in the
+  deemph initial state, each shard publishes its from-zero EMA ends as
+  an affine pair ``(A0, A1)`` in the deemph init — all six scalars ride
+  the SAME single all_gather — and the static cross-shard loop first
+  resolves every shard's deemph init, then every shard's DC init from
+  it.  Sharded == unsharded on all shards, no warm-up window.
+- The raw DC block (``-E rdc``) remains warm-up approximated (transient
+  bounded by ``(9/10)**warmup`` per block): its EMA feeds the
+  *nonlinear* discriminator, so no post-hoc linear correction exists;
+  those configs take the legacy warm-up path (:func:`exact_iir_supported`
+  gates).
 
 Shard 0's left halo is zeros and its warm-up output is discarded like every
 other shard's — since the unsharded run also starts from zero state, shard
@@ -58,6 +68,20 @@ from rx_tools_tpu.models import fmchain
 from rx_tools_tpu.stream.scan import stack_blocks
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _ema0_matrix(m: int, a: float) -> np.ndarray:
+    """(m, m) lower-triangular EMA-from-zero operator: row k of ``E @ b``
+    is ``sum_{j<=k} a**(k-j) * b[j]`` — the per-block DC EMA
+    (``rtl_fm.c:684-697``) unrolled as one tiny static matmul."""
+    i = np.arange(m)
+    e = i[:, None] - i[None, :]
+    return np.where(e >= 0, np.float64(a) ** np.maximum(e, 0),
+                    0.0).astype(np.float32)
+
+
 def shard_recording(iq: np.ndarray, n_shards: int, block_size: int) -> np.ndarray:
     """Split interleaved CS16 into (S, M, 2*block_size) contiguous shards."""
     blocks = stack_blocks(iq, block_size)
@@ -77,13 +101,14 @@ def _resampler_phase(cfg: fmchain.FmConfig, audio_in_before: int):
 
 def exact_iir_supported(cfg: fmchain.FmConfig) -> bool:
     """Configs whose shard boundaries are EXACT (see module docstring):
-    the only cross-shard IIR state is the linear deemph average and the
-    resampler window remainder, both carried in closed form.  DC-block
-    EMAs feed the nonlinear discriminator / have block-mean coupling and
-    stay on the legacy warm-up path."""
-    return (not cfg.dc_block_audio and not cfg.dc_block_raw
+    the cross-shard IIR state — deemph average, audio-DC EMA (round-5)
+    and the resampler window remainder — is linear post-demod and
+    carried in closed form.  The raw DC block's EMA feeds the nonlinear
+    discriminator and stays on the legacy warm-up path."""
+    return (not cfg.dc_block_raw
             and cfg.mode in ("fm", "am", "usb", "lsb")
-            and (cfg.deemph_a > 0 or cfg.rate_out2 > 0))
+            and (cfg.deemph_a > 0 or cfg.rate_out2 > 0
+                 or cfg.dc_block_audio))
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "warmup", "cont"))
@@ -92,11 +117,11 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
                     block_offset_mod=None, iir_carry=None):
     """Process (S, M, 2N) int16 blocks, S sharded over ``mesh`` axis ``t``.
 
-    Returns ``(audio (S, M, cap), n_valid (S, M), carry (S, 2))`` with the
-    same sharding; ``carry[s] = [deemph_avg_end, resampler_acc_end]`` of
-    shard ``s`` (exact-path configs; zeros otherwise) — a continuation
-    super-chunk passes ``iir_carry = carry_prev[-1]`` so even the
-    super-chunk seams are exact.
+    Returns ``(audio (S, M, cap), n_valid (S, M), carry (S, 3))`` with the
+    same sharding; ``carry[s] = [deemph_avg_end, resampler_acc_end,
+    dc_avg_end]`` of shard ``s`` (exact-path configs; zeros otherwise) — a
+    continuation super-chunk passes ``iir_carry = carry_prev[-1]`` so even
+    the super-chunk seams are exact.
     Each shard's first ``warmup`` blocks of *output* correspond to its
     warm-up replay of the left neighbour's data and are already dropped:
     outputs are aligned to the shard's own M blocks.
@@ -131,12 +156,13 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
         halo0 = jnp.zeros((warmup, twon), sharded_blocks.dtype)
         block_offset_mod = jnp.int32(0)
     if iir_carry is None:
-        iir_carry = jnp.zeros((2,), jnp.float32)
+        iir_carry = jnp.zeros((3,), jnp.float32)
     exact = exact_iir_supported(cfg)
     # front chain for the exact path: everything up to (and excluding) the
-    # deemph/resampler tail, which is applied shard-flat with the exact
-    # closed-form state below
-    cfg_front = (dataclasses.replace(cfg, deemph_a=0, rate_out2=-1)
+    # deemph/audio-DC/resampler tail, which is applied shard-flat with the
+    # exact closed-form state below
+    cfg_front = (dataclasses.replace(cfg, deemph_a=0, rate_out2=-1,
+                                     dc_block_audio=False)
                  if exact else cfg)
 
     def _varying(a):
@@ -193,46 +219,129 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
             n_valid.append(nv)
         if not exact:
             return (jnp.stack(audio)[None], jnp.stack(n_valid)[None],
-                    jnp.zeros((1, 2), jnp.float32))
+                    jnp.zeros((1, 3), jnp.float32))
 
-        # --- exact linear tail: deemph + rational resampler ---------------
+        # --- exact linear tail: deemph + audio DC + rational resampler ----
         x = jnp.concatenate(audio)                     # (L,) own front audio
         xh = jnp.concatenate(halo_audio)               # (Lh,) halo's
         l_own = m * apb
         l_part = (m - warmup) * apb
-        carry_avg, carry_acc = carry_in[0], carry_in[1]
+        m_part = m - warmup
+        carry_avg, carry_acc, carry_dc = (carry_in[0], carry_in[1],
+                                          carry_in[2])
+        lane = jnp.arange(l_own)
+        dc_on = bool(cfg.dc_block_audio)
 
+        # -- local deemph from ZERO state + its publishable ends: y0[n]
+        #    already IS the from-zero state after n+1 samples, so B_full =
+        #    y0[-1] and the state at the halo cut is y0[l_part-1]
         if cfg.deemph_a:
             inv_a = 1.0 / cfg.deemph_a
             c = 1.0 - inv_a
-            # deemph from ZERO state: y0[n] already IS the from-zero state
-            # after n+1 samples, so B_full = y0[-1] and the state at the
-            # halo cut is y0[l_part-1] — no extra passes needed
             _, y0 = ops.deemph_filter(
                 jnp.zeros((), jnp.float32), x, cfg.deemph_a)
-            lane = jnp.arange(l_own)
             b_full = jnp.sum(jnp.where(lane == l_own - 1, y0, 0.0))
             b_part = (jnp.sum(jnp.where(lane == l_part - 1, y0, 0.0))
                       if l_part > 0 else jnp.zeros(()))
-            gat = jax.lax.all_gather(
-                jnp.stack([b_part, b_full]).astype(jnp.float32), "t")  # (S,2)
             a_full = np.float32(np.float64(c) ** l_own)
             a_part = np.float32(np.float64(c) ** l_part)
-            # static cross-shard scan of the affine recurrence
-            inits = [carry_avg if cont else jnp.zeros(())]
-            halo_inits = [jnp.zeros(())]       # shard 0's halo unused
-            for k in range(1, n_dev):
-                inits.append(gat[k - 1, 1] + a_full * inits[k - 1])
-                halo_inits.append(gat[k - 1, 0] + a_part * inits[k - 1])
-            init_own = jnp.stack(inits)[idx]
-            init_halo = jnp.stack(halo_inits)[idx]
             cvec = jnp.asarray((np.float64(c) **
                                 np.arange(1, l_own + 1)).astype(np.float32))
+        else:
+            y0 = x
+            b_full = b_part = jnp.zeros(())
+            a_full = a_part = np.float32(0.0)
+            cvec = None
+
+        # -- local audio-DC from-zero EMA (round-5), AFFINE in the deemph
+        #    init: the EMA consumes per-block means of the deemph-corrected
+        #    audio y = y0 + init_d*cvec, so
+        #      avg_dc[k](init_d, init_dc) = A0[k] + init_d*A1[k]
+        #                                   + adc**(k+1) * init_dc
+        #    with A0/A1 the from-zero EMAs of mean(y0)/10 and mean(cvec)/10
+        #    (adc = 9/10; weight const 9, rtl_fm.c:684-697).  The six
+        #    scalars (deemph + DC, part + full) ride ONE all_gather.
+        if dc_on:
+            ema0 = jnp.asarray(_ema0_matrix(m, 0.9))
+            mean0 = jnp.mean(y0.reshape(m, apb), axis=1)
+            a0vec = ema0 @ (mean0 * jnp.float32(0.1))            # (m,)
+            if cfg.deemph_a:
+                cmean = jnp.mean(cvec.reshape(m, apb), axis=1)
+                a1vec = ema0 @ (cmean * jnp.float32(0.1))
+            else:
+                cmean = jnp.zeros((m,), jnp.float32)
+                a1vec = jnp.zeros((m,), jnp.float32)
+            adc_full = np.float32(np.float64(0.9) ** m)
+            adc_part = np.float32(np.float64(0.9) ** m_part)
+            blk = jnp.arange(m)
+            a0_full = jnp.sum(jnp.where(blk == m - 1, a0vec, 0.0))
+            a1_full = jnp.sum(jnp.where(blk == m - 1, a1vec, 0.0))
+            a0_part = (jnp.sum(jnp.where(blk == m_part - 1, a0vec, 0.0))
+                       if m_part > 0 else jnp.zeros(()))
+            a1_part = (jnp.sum(jnp.where(blk == m_part - 1, a1vec, 0.0))
+                       if m_part > 0 else jnp.zeros(()))
+            # EXACT per-block means of this shard's last `warmup` blocks,
+            # published as (mean0, cmean) pairs — the right neighbour
+            # rebuilds mean_k = mean0_k + init_d*cmean_k for its halo's
+            # DC trajectory.  (The locally REPLAYED halo audio cannot
+            # supply these: its first samples carry the from-zero
+            # front-state transient, and a block MEAN — unlike the
+            # geometrically-decaying deemph state — never forgets it.)
+            tail_means = jnp.concatenate([mean0[-warmup:], cmean[-warmup:]])
+        else:
+            a0_full = a1_full = a0_part = a1_part = jnp.zeros(())
+            adc_full = adc_part = np.float32(0.0)
+            tail_means = jnp.zeros((2 * warmup,), jnp.float32)
+
+        gat = jax.lax.all_gather(jnp.concatenate(
+            [jnp.stack([b_part, b_full, a0_part, a0_full, a1_part, a1_full]),
+             tail_means]).astype(jnp.float32), "t")       # (S, 6+2*warmup)
+
+        # -- static cross-shard affine recurrences: first every shard's
+        #    deemph init, then (depending on those) every shard's DC init
+        d_inits = [carry_avg if cont else jnp.zeros(())]
+        d_halo = [jnp.zeros(())]           # shard 0's halo value-irrelevant
+        for k in range(1, n_dev):
+            d_inits.append(gat[k - 1, 1] + a_full * d_inits[k - 1])
+            d_halo.append(gat[k - 1, 0] + a_part * d_inits[k - 1])
+        init_own = jnp.stack(d_inits)[idx]
+        init_halo = jnp.stack(d_halo)[idx]
+        if dc_on:
+            dc_inits = [carry_dc if cont else jnp.zeros(())]
+            dc_halo = [jnp.zeros(())]
+            halo_means = [jnp.zeros((warmup,))]    # shard 0: value-irrelevant
+            for k in range(1, n_dev):
+                b_dc_full = gat[k - 1, 3] + gat[k - 1, 5] * d_inits[k - 1]
+                b_dc_part = gat[k - 1, 2] + gat[k - 1, 4] * d_inits[k - 1]
+                dc_inits.append(b_dc_full + adc_full * dc_inits[k - 1])
+                dc_halo.append(b_dc_part + adc_part * dc_inits[k - 1])
+                halo_means.append(gat[k - 1, 6: 6 + warmup]
+                                  + d_inits[k - 1]
+                                  * gat[k - 1, 6 + warmup: 6 + 2 * warmup])
+            init_dc = jnp.stack(dc_inits)[idx]
+            init_dc_halo = jnp.stack(dc_halo)[idx]
+            hmean_exact = jnp.stack(halo_means)[idx]          # (warmup,)
+
+        # -- local corrections ---------------------------------------------
+        if cfg.deemph_a:
             y = y0 + init_own * cvec
             avg_end = gat[idx, 1] + a_full * init_own
-            # halo audio through deemph with ITS exact initial state (only
-            # the trailing partial resampler window of yh is consumed)
-            if cfg.rate_out2 > 0:
+        else:
+            y = y0
+            avg_end = jnp.zeros(())
+        if dc_on:
+            adcvec = jnp.asarray((np.float64(0.9) **
+                                  np.arange(1, m + 1)).astype(np.float32))
+            avg_blocks = a0vec + init_own * a1vec + init_dc * adcvec  # (m,)
+            y = (y.reshape(m, apb) - avg_blocks[:, None]).reshape(-1)
+            dc_end = gat[idx, 3] + gat[idx, 5] * init_own + adc_full * init_dc
+        else:
+            dc_end = jnp.zeros(())
+
+        # -- halo audio through the same exact corrections (feeds only the
+        #    resampler's partial-window recovery below) ---------------------
+        if cfg.rate_out2 > 0:
+            if cfg.deemph_a:
                 _, yh = ops.deemph_filter(
                     jnp.zeros((), jnp.float32), xh, cfg.deemph_a)
                 lh = xh.shape[0]
@@ -241,9 +350,19 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
                 yh = yh + init_halo * cvech
             else:
                 yh = xh
+            if dc_on:
+                # block means come from the neighbour's EXACT published
+                # pairs, not from the replayed halo audio (whose leading
+                # transient would bias them — see the gather comment)
+                emah = jnp.asarray(_ema0_matrix(warmup, 0.9))
+                avgh0 = emah @ (hmean_exact * jnp.float32(0.1))
+                adcvech = jnp.asarray((np.float64(0.9) **
+                                       np.arange(1, warmup + 1)
+                                       ).astype(np.float32))
+                avgh = avgh0 + init_dc_halo * adcvech
+                yh = (yh.reshape(warmup, apb) - avgh[:, None]).reshape(-1)
         else:
-            y, yh = x, xh
-            avg_end = jnp.zeros(())
+            yh = xh
 
         if cfg.rate_out2 > 0:
             # resampler window remainder recovered exactly from the halo:
@@ -275,7 +394,8 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
             out_nv = [jnp.int32(apb)] * m
             acc_end = jnp.zeros(())
         carry = jnp.stack([avg_end.astype(jnp.float32),
-                           acc_end.astype(jnp.float32)])
+                           acc_end.astype(jnp.float32),
+                           dc_end.astype(jnp.float32)])
         return (jnp.stack(out_a)[None], jnp.stack(out_nv)[None], carry[None])
 
     spec = P("t", None, None)

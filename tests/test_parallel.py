@@ -60,6 +60,64 @@ def test_time_sharded_matches_unsharded():
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=0.1, err_msg=str(s))
 
 
+def _fm_dc_recording(cfg, blocks_per_shard=4, seed=0, offset_hz=5000.0):
+    """Synthetic FM capture with a constant carrier-frequency offset: the
+    discriminator output then has a large DC level, so the audio DC
+    block's EMA state actually matters at every shard seam (pure noise
+    would exercise the -E dc path with near-zero corrections)."""
+    n = fmchain.block_samples(cfg, target=480)
+    total = S * blocks_per_shard * n
+    fs = cfg.rate_in * cfg.downsample
+    rng = np.random.default_rng(seed)
+    t = np.arange(total)
+    ph = 2 * np.pi * (offset_hz / fs) * t
+    iq = np.empty(2 * total, np.int16)
+    iq[0::2] = np.round(8000 * np.cos(ph)
+                        + rng.normal(0, 300, total)).astype(np.int16)
+    iq[1::2] = np.round(8000 * np.sin(ph)
+                        + rng.normal(0, 300, total)).astype(np.int16)
+    return iq, n
+
+
+def _assert_sharded_matches_unsharded(cfg, iq, n, warmup=WARMUP, atol=0.1):
+    mesh = make_mesh(S, axis="t")
+    sharded = shard_recording(iq, S, n)
+    audio_sh, nv_sh, _ = time_sharded_fm(cfg, jnp.asarray(sharded),
+                                         mesh=mesh, warmup=warmup)
+    audio_sh, nv_sh = np.asarray(audio_sh), np.asarray(nv_sh)
+    st = fmchain.init_state(cfg)
+    blocks = sharded.reshape(-1, sharded.shape[-1])
+    _, audio_u, nv_u, _ = scan_mod.scan_fm_blocks(cfg, st, jnp.asarray(blocks))
+    audio_u = np.asarray(audio_u).reshape(S, -1, audio_u.shape[-1])
+    nv_u = np.asarray(nv_u).reshape(S, -1)
+    m = sharded.shape[1]
+    for s in range(S):
+        got = np.concatenate([audio_sh[s, i, : nv_sh[s, i]] for i in range(m)])
+        ref = np.concatenate([audio_u[s, i, : nv_u[s, i]] for i in range(m)])
+        assert got.shape == ref.shape, (s, got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=atol,
+                                   err_msg=str(s))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(dc_block_audio=True),                            # deemph+DC+resample
+    dict(dc_block_audio=True, deemph_a=0),                # DC + resample
+    dict(dc_block_audio=True, rate_out2=-1),              # deemph + DC
+    dict(dc_block_audio=True, deemph_a=0, rate_out2=-1),  # DC alone
+])
+def test_time_sharded_audio_dc_exact(kw):
+    """Round-5: ``-E dc`` joins the exact closed-form seam.  The audio DC
+    block is a linear post-demod EMA (rtl_fm.c:684-697); its state is
+    carried across shards exactly (affine in the deemph init, same single
+    all_gather) — sharded == unsharded on ALL shards, no skip window,
+    on an FM signal whose discriminator output has a big DC level."""
+    cfg = _cfg(**kw)
+    from rx_tools_tpu.parallel.timeshard import exact_iir_supported
+    assert exact_iir_supported(cfg)
+    iq, n = _fm_dc_recording(cfg, seed=3)
+    _assert_sharded_matches_unsharded(cfg, iq, n)
+
+
 def test_time_sharded_fifth_order_path():
     """Halo warm-up also restores the fifth-order + droop FIR state."""
     cfg = _cfg(deemph_a=0, rate_out2=-1, downsample=4, downsample_passes=2,
@@ -145,6 +203,17 @@ def test_time_sharded_exactly_one_permute():
     perms = [c for c in colls if "collective-permute" in c]
     gaths = [c for c in colls if "all-gather" in c]
     assert len(perms) == 1 and len(gaths) == 1 and len(colls) == 2, colls
+    # round-5: -E dc rides the SAME single all-gather (six scalars/shard)
+    cfg = _cfg(dc_block_audio=True)
+    hlo = time_sharded_fm.lower(cfg, sharded, mesh=mesh,
+                                warmup=1).compile().as_text()
+    colls = _collectives_in(hlo)
+    perms = [c for c in colls if "collective-permute" in c]
+    gaths = [c for c in colls if "all-gather" in c]
+    assert len(perms) == 1 and len(gaths) == 1 and len(colls) == 2, colls
+    # the raw DC block stays on the legacy warm-up path (nonlinear feed)
+    from rx_tools_tpu.parallel.timeshard import exact_iir_supported
+    assert not exact_iir_supported(_cfg(dc_block_raw=True))
 
 
 def test_hop_sharded_sweep_exact():
@@ -163,16 +232,21 @@ def test_hop_sharded_sweep_exact():
                                   np.asarray(acc_u.samples))
 
 
-def test_time_sharded_superchunk_continuation_exact():
+@pytest.mark.parametrize("dc", [False, True])
+def test_time_sharded_superchunk_continuation_exact(dc):
     """Round-4: TWO super-chunks with cont=True + the exact iir_carry
     reproduce the unsharded run on every shard of BOTH chunks — the
-    super-chunk seam is as exact as the interior shard boundaries."""
-    cfg = _cfg()
+    super-chunk seam is as exact as the interior shard boundaries.
+    Round-5: parametrized over -E dc (the carry's third slot)."""
+    cfg = _cfg(dc_block_audio=dc)
     mesh = make_mesh(S, axis="t")
     n = fmchain.block_samples(cfg, target=480)
     m = 4
-    rng = np.random.default_rng(21)
-    iq = rng.integers(-2000, 2000, 2 * 2 * S * m * n).astype(np.int16)
+    if dc:
+        iq, _ = _fm_dc_recording(cfg, blocks_per_shard=2 * m, seed=21)
+    else:
+        rng = np.random.default_rng(21)
+        iq = rng.integers(-2000, 2000, 2 * 2 * S * m * n).astype(np.int16)
     blocks = scan_mod.stack_blocks(iq, n)              # (2*S*m, 2n)
     from rx_tools_tpu.parallel.timeshard import resampler_modulus
     fmod = resampler_modulus(cfg)

@@ -114,6 +114,27 @@ def test_rx_fm_shard_wbfm_snr(tmp_path, monkeypatch):
     assert abs(fr[np.argmax(sp)] - 1000.0) < 10
 
 
+def test_rx_fm_shard_wbfm_dc_snr(tmp_path, monkeypatch):
+    """Round-5: wbfm + ``-E dc`` via -E shard — the audio DC block rides
+    the exact closed-form seam (parallel/timeshard.py), so the sharded
+    CLI output still matches the streaming run at high SNR.  The carrier
+    is offset from the tuned frequency so the discriminator output has a
+    big DC level and the EMA correction is load-bearing."""
+    cap = _record(tmp_path, "wdc.cs16", 1_020_000, 1_530_000,
+                  carrier="100.020M", f="100.275M", dev="75k")
+    base_args = ["-f", "100M", "-M", "wbfm", "-A", "std", "-E", "dc",
+                 "-d", f"file={cap},format=CS16,rate=1020k"]
+    a_stream, a_shard = tmp_path / "sdc.raw", tmp_path / "hdc.raw"
+    assert rx_fm.main(base_args + [str(a_stream)]) == 0
+    monkeypatch.setenv("RX_SHARD_BLOCKS", "4")   # force super-chunking
+    assert rx_fm.main(base_args + ["-E", "shard", str(a_shard)]) == 0
+    s = np.fromfile(a_stream, np.int16).astype(np.float64)
+    h = np.fromfile(a_shard, np.int16).astype(np.float64)
+    assert s.size == h.size > 20000
+    k = s.size // 20
+    assert snr_db(s[k:], h[k:]) > 35
+
+
 def test_rx_fm_shard_tail_path(tmp_path):
     """A capture that does NOT divide into 8 equal shards exercises the
     single-device tail replay (output still equals the streaming run)."""
