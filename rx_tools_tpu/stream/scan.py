@@ -1,16 +1,29 @@
-"""Offline block processing: ``lax.scan`` over stacked blocks inside one jit.
+"""Offline block processing: whole-chunk programs with per-block semantics.
 
 For file/recorded input there is no realtime arrival constraint, so instead
 of stepping block-by-block from the host (one dispatch per ~7 ms of signal),
-a whole recording chunk is moved to the device once and scanned:
+a whole recording chunk is moved to the device once and processed in one
+compiled program:
 
     blocks (M, 2N) --scan--> audio (M, cap), n_valid (M,)
 
-One dispatch per M blocks amortises host/dispatch overhead to nothing and
-lets XLA pipeline HBM prefetch of block ``k+1`` under compute of ``k`` —
+One dispatch per M blocks amortises host/dispatch overhead to nothing —
 the TPU analog of the reference's dongle/demod thread overlap
-(``src/rtl_fm.c:866-958``).  The carried state threads through the scan
-exactly as it threads between pthread buffer handoffs in the reference.
+(``src/rtl_fm.c:866-958``).  The carried state threads through exactly as
+it threads between pthread buffer handoffs in the reference.
+
+Round-5 engine structure: the capture-rate front half (rescale + fs/4
+rotate + decimate, ``rtlsdr_callback`` rtl_fm.c:828-863, plus the
+discriminator) carries NO cross-block state on the default boxcar path,
+so it runs ONCE over the whole chunk — a single block-banded MXU dot and
+one fused elementwise pass instead of M small ones (M small frontend dots
+measured ~2x slower than one big one, docs/PERF.md round-5).  The audio
+tail (levels, deemphasis, DC block, resampler) keeps the per-block loop
+with carried state, so outputs stay BIT-IDENTICAL to stepping
+``fm_chain_step`` block by block (tests/test_stream.py pins this) — the
+engine change is invisible to every consumer, including checkpoints.
+Stateful-front configs (fifth-order cascade, raw DC, squelch gating,
+opt-in fused kernel) take the legacy per-block path.
 """
 
 from __future__ import annotations
@@ -21,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rx_tools_tpu import ops
 from rx_tools_tpu.models import fmchain
 
 
@@ -30,25 +44,111 @@ def stack_blocks(iq: np.ndarray, block_size: int) -> np.ndarray:
     return iq[: n * 2 * block_size].reshape(n, 2 * block_size)
 
 
+def _batched_front_ok(cfg: fmchain.FmConfig, k_per_block: int) -> bool:
+    """The chunk-wide front requires a stateless capture path: boxcar
+    decimation (no fifth-order history), no raw DC EMA, squelch off (the
+    per-block zeroing feeds the discriminator), and not the opt-in fused
+    Pallas kernel (which fuses capture+disc per block by design)."""
+    from rx_tools_tpu.ops import fused_frontend
+    return (cfg.downsample_passes == 0 and cfg.fir_quality <= 9
+            and not cfg.dc_block_raw and cfg.squelch_level == 0
+            and cfg.mode in ("fm", "am", "usb", "lsb", "raw")
+            and not fused_frontend.fused_eligible(cfg, k_per_block))
+
+
 @partial(jax.jit, static_argnums=0)
 def scan_fm_blocks(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
-    """Run the FM chain over ``blocks`` (M, 2N) int16 in one compiled scan.
-
-    Returns ``(state, audio (M, cap), n_valid (M,), levels (M,))``.
+    """Run the FM chain over ``blocks`` (M, 2N) int16 in one compiled
+    program.  Returns ``(state, audio (M, cap), n_valid (M,), levels (M,))``
+    — bit-identical to stepping ``fm_chain_step`` per block.
     """
-    # A traced Python loop with static block indices, NOT lax.scan: a rolled
-    # scan reads block k with a dynamic-slice each iteration, which on TPU
-    # costs ~1.6 ms per MB-sized slice (measured 20 ms vs 0.094 ms per
-    # 12-block chunk, 200x) — and lax.scan's unroll option still emits
-    # dynamic indexing, so only static blocks[i] gets the fast path
-    # (docs/PERF.md "the dynamic-slice cliff").
+    m, twon = blocks.shape
+    k_per_block = twon // 2 // cfg.downsample
+    if _batched_front_ok(cfg, k_per_block):
+        return _scan_batched_front(cfg, state, blocks)
+    # Legacy per-block loop — a traced Python loop with static block
+    # indices, NOT lax.scan: a rolled scan reads block k with a
+    # dynamic-slice each iteration, which on TPU costs ~1.6 ms per
+    # MB-sized slice (measured 20 ms vs 0.094 ms per 12-block chunk,
+    # 200x) — and lax.scan's unroll option still emits dynamic indexing,
+    # so only static blocks[i] gets the fast path (docs/PERF.md "the
+    # dynamic-slice cliff").
     audio, n_valid, levels = [], [], []
-    for i in range(blocks.shape[0]):
+    for i in range(m):
         state, a, nv, lv = fmchain.fm_chain_step_impl(cfg, state, blocks[i])
         audio.append(a)
         n_valid.append(nv)
         levels.append(lv)
     return (state, jnp.stack(audio), jnp.stack(n_valid), jnp.stack(levels))
+
+
+def _scan_batched_front(cfg, state, blocks):
+    """Chunk-wide capture front + discriminator, per-block audio tail.
+
+    The front is elementwise/windowed with no cross-block state (the fs/4
+    phase is continuous because N % 4 == 0, and every decimation window
+    lies inside one block), so one chunk-wide call computes exactly what
+    M per-block calls would, value-for-value; the discriminator's
+    per-buffer std-atan2 seam quirk (``fm_demod`` rtl_fm.c:588-590) is
+    kept at every block boundary via ``seam_stride``.  The tail loop
+    below replays ``_fm_post`` per block with the carried state, so
+    deemph/DC/resampler sum associations — and therefore the emitted
+    bytes — match the legacy engine exactly.
+    """
+    m, twon = blocks.shape
+    n = twon // 2
+    kpb = n // cfg.downsample
+
+    zi, zq = ops.capture_frontend_planar(blocks.reshape(-1), cfg.downsample,
+                                         rotate=not cfg.offset_tuning)
+
+    prev_iq = state.prev_iq
+    d = None
+    if cfg.mode == "fm":
+        if cfg.custom_atan != ops.DISC_STD:
+            prev_iq, d = ops.fm_discriminate_planar(prev_iq, zi, zq,
+                                                    cfg.custom_atan,
+                                                    seam_stride=kpb)
+        # DISC_STD stays per-block (in the tail loop): XLA's atan2
+        # lowering is shape-dependent in the last ulp, and this engine's
+        # contract is BIT-identical output to per-block stepping.  The
+        # rational-polynomial modes (fast/lut/ale) are IEEE-exact
+        # elementwise, so the chunk-wide form changes nothing.
+    elif cfg.mode == "am":
+        d = jnp.sqrt(zi * zi + zq * zq) * jnp.float32(cfg.output_scale)
+    elif cfg.mode == "usb":
+        d = (zi + zq) * jnp.float32(cfg.output_scale)
+    elif cfg.mode == "lsb":
+        d = (zi - zq) * jnp.float32(cfg.output_scale)
+    else:  # raw
+        d = jnp.stack([zi, zq], axis=-1).reshape(-1)
+
+    audio, n_valid, levels = [], [], []
+    st = state
+    for i in range(m):
+        zib = jax.lax.slice(zi, (i * kpb,), ((i + 1) * kpb,))
+        zqb = jax.lax.slice(zq, (i * kpb,), ((i + 1) * kpb,))
+        level = ops.rms_level_planar(zib, zqb)
+        if cfg.mode == "raw":
+            # raw leaves the whole carried state untouched on this path
+            # (no discriminator seam, no IIR tail — rtl_fm.c:658-665)
+            a = jax.lax.slice(d, (2 * i * kpb,), (2 * (i + 1) * kpb,))
+            audio.append(a)
+            n_valid.append(jnp.int32(a.shape[0]))
+            levels.append(level)
+            continue
+        if d is None:                 # fm + std atan2: per-block disc
+            prev_iq, a = ops.fm_discriminate_planar(prev_iq, zib, zqb,
+                                                    cfg.custom_atan)
+        else:
+            a = jax.lax.slice(d, (i * kpb,), ((i + 1) * kpb,))
+        st, a_out, nv, _ = fmchain._fm_post(
+            cfg, st, a, level, prev_iq, st.dc_iq, st.fifth, st.droop,
+            st.boxcar, st.polyfir, st.squelch_hits)
+        audio.append(a_out)
+        n_valid.append(nv)
+        levels.append(level)
+    return (st, jnp.stack(audio), jnp.stack(n_valid), jnp.stack(levels))
 
 
 def gather_valid(audio: np.ndarray, n_valid: np.ndarray) -> np.ndarray:

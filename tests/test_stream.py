@@ -41,6 +41,47 @@ def test_scan_matches_stepping():
     np.testing.assert_array_equal(np.asarray(nv_s), np.array(nvs))
 
 
+@pytest.mark.parametrize("kw", [
+    dict(),                                           # wbfm-like default
+    dict(custom_atan=0), dict(custom_atan=2), dict(custom_atan=3),
+    dict(mode="am", deemph_a=0), dict(mode="usb", deemph_a=0),
+    dict(mode="lsb", deemph_a=0, rate_out2=-1),
+    dict(mode="raw", deemph_a=0, rate_out2=-1),
+    dict(dc_block_audio=True),
+    dict(post_downsample=2, rate_out2=-1, deemph_a=0),
+    dict(offset_tuning=True),
+    dict(squelch_level=30.0),                         # legacy path
+    dict(downsample_passes=2, comp_fir_size=9,
+         downsample=4, rate_out2=-1, deemph_a=0),     # legacy path
+])
+def test_scan_engine_bit_identical_to_stepping(kw):
+    """Round-5: the batched-front scan engine must be BIT-identical to
+    stepping fm_chain_step per block — the chunk-wide capture front and
+    per-block seam/tail replay change nothing observable (state pytree
+    included), so checkpoints, golden tests and CLI bytes are engine-
+    independent.  Covers both the batched-front and legacy paths."""
+    base = dict(mode="fm", rate_in=170000, rate_out=170000, rate_out2=32000,
+                downsample=6, custom_atan=1, deemph_a=7, squelch_level=0.0)
+    base.update(kw)
+    cfg = fmchain.FmConfig(**base)
+    blocks, n = _blocks(cfg, m=5, seed=3)
+    st_scan, audio_s, nv_s, lv_s = scan_mod.scan_fm_blocks(
+        cfg, fmchain.init_state(cfg), blocks)
+    st2 = fmchain.init_state(cfg)
+    outs, nvs, lvs = [], [], []
+    for b in blocks:
+        st2, a, nv, lv = fmchain.fm_chain_step(cfg, st2, b)
+        outs.append(np.asarray(a))
+        nvs.append(int(nv))
+        lvs.append(float(lv))
+    np.testing.assert_array_equal(np.asarray(audio_s), np.stack(outs))
+    np.testing.assert_array_equal(np.asarray(nv_s), np.array(nvs))
+    np.testing.assert_array_equal(np.asarray(lv_s), np.array(lvs, np.float32))
+    import jax
+    for got, want in zip(jax.tree.leaves(st_scan), jax.tree.leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_runner_end_to_end():
     cfg = _cfg()
     n = fmchain.block_samples(cfg, target=480)
