@@ -208,6 +208,230 @@ def filterbank_mxu(cfg: PfbConfig, tail, block):
     return xp_flat[-(2 * t * d):].reshape(t * d, 2), ch[:d], ch[d:]
 
 
+# ---------------------------------------------------------------------------
+# Round-5 TIME-MAJOR formulation: every tail construct row-major
+# ---------------------------------------------------------------------------
+
+class PfbStateTM(NamedTuple):
+    """Carried state of :func:`pfb_step_tmaj`.
+
+    ``tailx``: the last ``(T+1)*D`` input complex samples, flat interleaved
+    f32 — one frame MORE than the channel-major state so the filterbank
+    can emit the previous block's final frame again (the discriminator's
+    previous-sample column then comes from the conv output itself instead
+    of a carried seam concat)."""
+    tailx: jnp.ndarray             # (2*(T+1)*D,) flat interleaved f32
+    deemph_avg: jnp.ndarray        # (D,)
+    resamp: ResampleState          # (D,) acc / phase
+
+
+def init_state_tmaj(cfg: PfbConfig) -> PfbStateTM:
+    d, t = cfg.n_channels, cfg.taps_per_branch
+    return PfbStateTM(
+        tailx=jnp.zeros((2 * (t + 1) * d,), jnp.float32),
+        deemph_avg=jnp.zeros((d,), jnp.float32),
+        resamp=ResampleState(jnp.zeros((d,), jnp.float32),
+                             jnp.zeros((d,), jnp.int32)))
+
+
+def _iir_tmaj(avg, b, c: float, rows: int = 128):
+    """First-order IIR scan along the TIME (major) axis of ``b`` (M, D):
+    ``y[t] = c*y[t-1] + b[t]`` per channel column, as one batched
+    triangular MXU contraction per 128-step row block plus a tiny
+    row-carry combine — the time-major twin of
+    ``ops.filters._iir_scan_batch_mxu`` (M %% 128 == 0)."""
+    m, d = b.shape
+    r = m // rows
+    bp = b.reshape(r, rows, d)
+    from rx_tools_tpu.ops.filters import _scan_matrix
+    u = jnp.asarray(_scan_matrix(rows, float(c)))         # U[s, t] = c^(t-s)
+    s_in = jnp.einsum("rsc,st->rtc", bp, u,
+                      precision=jax.lax.Precision.HIGHEST)
+    cl = float(c) ** rows
+    ends = s_in[:, rows - 1, :]                            # (R, D)
+    # inclusive scan of row ends with decay cl (R is tiny: shifts are cheap)
+    es = ends
+    s = 1
+    while s < r:
+        es = es + np.float32(cl ** s) * jnp.pad(es, ((s, 0), (0, 0)))[:r]
+        s *= 2
+    decay = jnp.asarray((np.float64(cl) ** np.arange(r)).astype(np.float32))
+    car = (jnp.concatenate([jnp.zeros((1, d), b.dtype), es[:-1]], axis=0)
+           + decay[:, None] * avg[None, :])                # (R, D)
+    cvec = jnp.asarray((np.float64(c) **
+                        np.arange(1, rows + 1)).astype(np.float32))
+    y = (s_in + car[:, None, :] * cvec[None, :, None]).reshape(m, d)
+    return y[m - 1, :], y
+
+
+def filterbank_tmaj(cfg: PfbConfig, tailx, block):
+    """Time-major filterbank: block -> (new_tailx, ch2 (M+1, 2D)).
+
+    Identical math to :func:`filterbank_mxu` transposed — the polyphase
+    frames' NATURAL layout is (frames, 2D), so the branch FIR is T
+    shifted MAJOR-axis adds (no transpose anywhere) and the branch
+    DFT/deinterleave is ``W @ dft.T`` on the MXU.  Emits M+1 output
+    frames: row 0 re-derives the PREVIOUS block's last frame from the
+    carried tail, so the discriminator's previous-sample stream is a pure
+    offset read of this array (``ch2[:-1]``) instead of a seam concat.
+    Columns: [Re ch 0..D-1 | Im ch 0..D-1].
+    """
+    d, t = cfg.n_channels, cfg.taps_per_branch
+    n = block.shape[0] // 2
+    assert n % d == 0, (n, d)
+    m = n // d
+    y = block.astype(jnp.float32) * jnp.float32(128.0 / 32767.0)
+    xp = jnp.concatenate([tailx, y])               # (2*((T+1)*D + N),)
+
+    h = jnp.asarray(_prototype(cfg))
+    hp2 = h.reshape(t, d)[::-1, ::-1]
+    hb = jnp.repeat(hp2, 2, axis=1)[::-1]                  # (T, 2D)
+
+    # frames2[k, 2q+c] = xp_c[k*D + 1 + q][c], k = 0..M+T-1; one extra
+    # frame of history vs the channel-major path (tail is (T+1)*D)
+    frames = jax.lax.slice(xp, (2,), (2 + (m + t) * 2 * d,))
+    f2 = frames.reshape(m + t, 2 * d)                      # (M+T, 2D)
+    w = f2[0: m + 1] * hb[0][None, :]
+    for tt in range(1, t):
+        w = w + f2[tt: tt + m + 1] * hb[tt][None, :]       # (M+1, 2D)
+
+    ch2 = jax.lax.dot_general(w, jnp.asarray(_dft_matrix(d)),
+                              (((1,), (1,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    return xp[-(2 * (t + 1) * d):], ch2
+
+
+@partial(jax.jit, static_argnums=0)
+def pfb_step_tmaj(cfg: PfbConfig, state: PfbStateTM, block):
+    """Time-major PFB step: one wideband block -> D channels, demodulated.
+
+    Same semantics as :func:`pfb_step` (per-channel tail of
+    ``full_demod``, src/rtl_fm.c:808-823) with audio returned TIME-MAJOR:
+    ``(state, audio (cap, D), n_valid ())`` — hosts transpose for free
+    (``np.asarray(audio).T`` is a view).  Every stage is a row-major
+    construct: the disc previous sample is ``ch2[:-1]`` (offset read, no
+    concat), deemph and the resampler prefix sums are batched triangular
+    MXU contractions along time, and the resampler's extraction is a
+    whole-row gather — no (C, M) transposes, no minor-axis seams
+    (docs/PERF.md round-5 campaign).
+    """
+    d = cfg.n_channels
+    if ((block.shape[0] // 2 // d) % 128 != 0
+            and (cfg.deemph_a or cfg.rate_out2 > 0)):
+        raise ValueError(
+            f"pfb_step_tmaj needs per-channel block length divisible by "
+            f"128 (got {block.shape[0] // 2 // d}); pick a block of "
+            f"128*{d}*k complex samples (block_samples default is fine)")
+    tailx, ch2 = filterbank_tmaj(cfg, state.tailx, block)
+    m = ch2.shape[0] - 1
+
+    cur, prev = ch2[1:], ch2[:-1]                          # (M, 2D)
+    ar, aj = cur[:, :d], cur[:, d:]
+    br, bj = prev[:, :d], prev[:, d:]
+
+    if cfg.mode == "raw":
+        audio = ch2[1:]                                    # (M, 2D) packed
+        return (PfbStateTM(tailx, state.deemph_avg, state.resamp),
+                audio, jnp.int32(m))
+
+    if cfg.mode == "fm":
+        cr = ar * br + aj * bj
+        cj = aj * br - ar * bj
+        if cfg.custom_atan == ops.DISC_STD:
+            dd = ops.polar_discriminant(cr, cj)
+        else:
+            if cfg.custom_atan == ops.DISC_FAST:
+                dd = ops.polar_disc_fast(cr, cj)
+            elif cfg.custom_atan == ops.DISC_LUT:
+                ai = jnp.round(ar).astype(jnp.int32)
+                ji = jnp.round(aj).astype(jnp.int32)
+                bi = jnp.round(br).astype(jnp.int32)
+                qi = jnp.round(bj).astype(jnp.int32)
+                dd = ops.polar_disc_lut(ai * bi + ji * qi,
+                                        ji * bi - ai * qi)
+            else:
+                dd = ops.esbensen_disc(ar, aj, br, bj)
+            # per-block seam quirk (fm_demod rtl_fm.c:588-590): output
+            # row 0 uses the std atan2 — a broadcast select against the
+            # (1, D) row, not a concat
+            trow = jax.lax.broadcasted_iota(jnp.int32, dd.shape, 0)
+            dd = jnp.where(trow == 0,
+                           ops.polar_discriminant(cr[0:1], cj[0:1]), dd)
+    elif cfg.mode == "am":
+        dd = jnp.sqrt(ar * ar + aj * aj) * jnp.float32(cfg.output_scale)
+    elif cfg.mode == "usb":
+        dd = (ar + aj) * jnp.float32(cfg.output_scale)
+    elif cfg.mode == "lsb":
+        dd = (ar - aj) * jnp.float32(cfg.output_scale)
+    else:
+        raise ValueError(cfg.mode)
+
+    davg = state.deemph_avg
+    if cfg.deemph_a:
+        inv_a = 1.0 / cfg.deemph_a
+        davg, dd = _iir_tmaj(davg, dd * jnp.float32(inv_a), 1.0 - inv_a)
+
+    racc, rphase = state.resamp.acc, state.resamp.phase
+    if cfg.rate_out2 > 0:
+        st_r, audio, nv = _resample_tmaj(
+            ResampleState(racc, rphase), dd,
+            cfg.channel_rate, cfg.rate_out2)
+        racc, rphase = st_r.acc, st_r.phase
+    else:
+        audio, nv = dd, jnp.int32(m)
+
+    return (PfbStateTM(tailx, davg, ResampleState(racc, rphase)),
+            audio, nv)
+
+
+def _resample_tmaj(state: ResampleState, x, fast: int, slow: int):
+    """Time-major batched resampler: ``x`` (M, D) -> ``y`` (cap, D).
+
+    All channels share one (data-independent) emission grid, computed
+    once.  Prefix sums along time via the batched triangular MXU
+    contraction (row-carry combined), window ends/starts via WHOLE-ROW
+    gathers of the (M, D) accumulator — the channel axis rides the lane
+    dimension throughout, so nothing transposes and nothing gathers
+    elementwise.  Same emission grid / truncated divisor / carried state
+    as ``ops.resample.resample_rational_batch`` (f32 association differs).
+    """
+    import math as _m
+    g = _m.gcd(int(fast), int(slow))
+    fast, slow = int(fast) // g, int(slow) // g
+    m, d = x.shape
+    if m * slow + fast >= 2 ** 31:
+        raise ValueError("block too large for int32 resampler phase")
+    cap = m * slow // fast + 2
+    divisor = jnp.float32(1.0 / (fast // slow))
+    phase0 = state.phase[0]
+
+    # prefix sums along time: triangular contraction + row carry (c = 1)
+    _, csum = _iir_tmaj(jnp.zeros((d,), jnp.float32), x, 1.0)
+
+    k = jnp.arange(cap)
+    total_emits = (phase0 + m * slow) // fast
+    pos = ((k + 1) * fast - phase0 + slow - 1) // slow - 1  # (cap,) shared
+    valid = k < total_emits
+    posc = jnp.clip(pos, 0, m - 1).astype(jnp.int32)
+    ends = jnp.take(csum, posc, axis=0)                     # (cap, D) rows
+    starts = jnp.concatenate(
+        [jnp.zeros((1, d), x.dtype), ends[:-1]], axis=0)
+    y = (ends - starts) + jnp.where(k == 0, 1.0, 0.0)[:, None] * state.acc[None, :]
+    y = jnp.where(valid[:, None], y * divisor, 0.0)
+    n_valid = total_emits.astype(jnp.int32)
+
+    total = csum[m - 1, :] + state.acc                      # (D,)
+    last_pos = jnp.clip((total_emits * fast - phase0 + slow - 1) // slow - 1,
+                        0, m - 1)
+    consumed_end = jnp.where(total_emits > 0,
+                             jnp.take(csum, last_pos[None], axis=0)[0]
+                             + state.acc, 0.0)
+    new_acc = total - consumed_end
+    new_phase = jnp.full((d,), (phase0 + m * slow) % fast, jnp.int32)
+    return (ResampleState(new_acc.astype(jnp.float32), new_phase),
+            y, n_valid)
+
+
 @partial(jax.jit, static_argnums=0)
 def pfb_step(cfg: PfbConfig, state: PfbState, block):
     """One wideband block -> D channels, demodulated.

@@ -136,3 +136,60 @@ def test_matches_mixer_channelizer_on_grid():
     best = max(snr_db(ref, got[cut + lag: cut + lag + ref.size])
                for lag in range(-8, 9))
     assert best > 10, best
+
+
+# ---------------------------------------------------------------------------
+# Round-5 time-major formulation
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kw", [
+    dict(mode="fm", custom_atan=1, deemph_a=7, rate_out2=32000),
+    dict(mode="fm", custom_atan=0),
+    dict(mode="fm", custom_atan=3, deemph_a=7),
+    dict(mode="am", rate_out2=32000),
+    dict(mode="usb"),
+])
+def test_tmaj_matches_channel_major(kw):
+    """pfb_step_tmaj == pfb_step (audio transposed) while streaming —
+    the time-major formulation changes layout/association only.
+    Chained over 3 blocks so the (T+1)-frame tail carry, the deemph/
+    resampler state and the derived seam frame are all exercised."""
+    cfg = _cfg(**kw)
+    n = pfb.block_samples(cfg, target=4096)
+    m = n // D
+    assert m % 128 == 0, m
+    st_cm = pfb.init_state(cfg)
+    st_tm = pfb.init_state_tmaj(cfg)
+    for b in range(3):
+        blk = _tone_block(n, 3.3 * FS / D, amp=90, fm_audio=700,
+                          seed=10 + b, noise=0.5)
+        st_cm, a_cm, nv_cm = pfb.pfb_step(cfg, st_cm, jnp.asarray(blk))
+        st_tm, a_tm, nv_tm = pfb.pfb_step_tmaj(cfg, st_tm, jnp.asarray(blk))
+        a_cm, a_tm = np.asarray(a_cm), np.asarray(a_tm)
+        nv_cm, nv_tm = np.asarray(nv_cm), int(nv_tm)
+        assert int(nv_cm[0]) == nv_tm, (nv_cm[0], nv_tm, b)
+        got = a_tm.T[:, :nv_tm]                     # (D, valid)
+        want = a_cm[:, :nv_tm]
+        scale = max(1.0, float(np.abs(want).max()))
+        np.testing.assert_allclose(got / scale, want / scale,
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"block {b}")
+
+
+def test_tmaj_raw_packing():
+    """raw mode returns the (M, 2D) channel matrix itself (Re|Im halves)."""
+    cfg = _cfg(mode="raw")
+    n = pfb.block_samples(cfg, target=4096)
+    st_cm = pfb.init_state(cfg)
+    st_tm = pfb.init_state_tmaj(cfg)
+    blk = _tone_block(n, 2.0 * FS / D, amp=80, seed=4)
+    _, a_cm, nv_cm = pfb.pfb_step(cfg, st_cm, jnp.asarray(blk))
+    _, a_tm, nv_tm = pfb.pfb_step_tmaj(cfg, st_tm, jnp.asarray(blk))
+    a_tm = np.asarray(a_tm)                          # (M, 2D)
+    m = a_tm.shape[0]
+    # channel-major raw audio is per-channel interleaved I/Q
+    a_cm = np.asarray(a_cm).reshape(D, m, 2)
+    np.testing.assert_allclose(a_tm[:, :D].T, a_cm[..., 0],
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(a_tm[:, D:].T, a_cm[..., 1],
+                               rtol=1e-5, atol=1e-3)
