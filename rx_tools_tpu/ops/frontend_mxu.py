@@ -167,6 +167,64 @@ def capture_frontend_mm_i8(block_i16, downsample: int, rotate: bool = True,
     return out[:, :p].reshape(-1), out[:, p:].reshape(-1)
 
 
+def capture_frontend_mm_i16(block_i16, downsample: int, rotate: bool = True,
+                            p: int | None = None):
+    """``(2N,) int16 -> ((K,), (K,)) float32`` planar, via ONE integer dot.
+
+    Round-5 probe of the frontend's measured ~5x traffic amplification
+    (docs/PERF.md round-4: int16 in, f32 materialize write+read, planar
+    out — the converted f32 stream costs 8 B of HBM per 2 B input because
+    XLA's dot lowering won't absorb the elementwise convert).  This
+    variant feeds the dot the RAW int16 stream against an int16 mask
+    matrix with int32 accumulation — no converted intermediate exists at
+    all, and the result is INTEGER-EXACT (sums of <= 2D masked int16
+    terms; the one f32 scale runs on the 1/D-sized output).  Whether the
+    backend lowers an int16xint16->int32 dot onto the MXU efficiently is
+    exactly what the in-chain A/B measures.
+    """
+    d = int(downsample)
+    k = block_i16.shape[0] // (2 * d)
+    if p is None:
+        p = _pick_p(k, d, rotate)
+    if p == 1:
+        from rx_tools_tpu.ops.pallas_frontend import capture_frontend_planar
+        return capture_frontend_planar(block_i16, downsample, rotate)
+    g = block_i16.reshape(k // p, p * 2 * d)
+    m = jnp.asarray(_fs4_decim_matrix(d, p, bool(rotate)).astype(np.int16))
+    out = jax.lax.dot_general(g, m, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    outf = out.astype(jnp.float32) * _SCALE
+    return outf[:, :p].reshape(-1), outf[:, p:].reshape(-1)
+
+
+def capture_frontend_mm_bf16(block_i16, downsample: int, rotate: bool = True,
+                             p: int | None = None):
+    """``(2N,) int16 -> ((K,), (K,)) float32`` planar, bf16-intermediate dot.
+
+    Round-5 traffic probe ONLY — bf16 keeps 8 mantissa bits, so the
+    rescaled 15-bit inputs are truncated and golden parity is broken;
+    this exists to measure whether halving the converted intermediate
+    (2 B bf16 vs 4 B f32) moves the in-chain rate, separating "the dot's
+    input materialization is the cost" from "the dot itself is".  Never
+    dispatched by production code.
+    """
+    d = int(downsample)
+    k = block_i16.shape[0] // (2 * d)
+    if p is None:
+        p = _pick_p(k, d, rotate)
+    if p == 1:
+        from rx_tools_tpu.ops.pallas_frontend import capture_frontend_planar
+        return capture_frontend_planar(block_i16, downsample, rotate)
+    y = (block_i16.astype(jnp.bfloat16)
+         * jnp.bfloat16(float(_SCALE)))
+    g = y.reshape(k // p, p * 2 * d)
+    m = jnp.asarray(_fs4_decim_matrix(d, p, bool(rotate))
+                    .astype(np.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(g, m, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out[:, :p].reshape(-1), out[:, p:].reshape(-1)
+
+
 def _mm_kernel(x_ref, m_ref, o_ref, *, scale: float):
     # Mosaic only lowers Precision.HIGHEST (f32) dots; HIGH raises
     v = x_ref[:].astype(jnp.float32) * scale          # int16 tile -> f32 VMEM

@@ -165,3 +165,34 @@ def test_mm_pallas2_two_output_matches_planar():
     tol = dict(rtol=2e-5, atol=5e-3)
     np.testing.assert_allclose(zi1, zi0, **tol)
     np.testing.assert_allclose(zq1, zq0, **tol)
+
+
+def test_mm_i16_integer_exact():
+    """Round-5 probe: the raw-int16 dot with int32 accumulation must be
+    integer-exact against the mask sums at full int16 range (no converted
+    f32 intermediate exists on this path)."""
+    rng = np.random.default_rng(29)
+    d = 14
+    blk = rng.integers(-32768, 32767, 2 * d * 32 * 24).astype(np.int16)
+    zi0, zq0 = pallas_frontend.capture_frontend_planar(blk, d, True)
+    zi1, zq1 = frontend_mxu.capture_frontend_mm_i16(blk, d, True)
+    tol = dict(rtol=2e-5, atol=5e-3)
+    np.testing.assert_allclose(zi1, zi0, **tol)
+    np.testing.assert_allclose(zq1, zq0, **tol)
+    scale = 128.0 / 32767.0
+    v = np.asarray(zi1, np.float64) / scale
+    np.testing.assert_allclose(v, np.round(v), atol=1e-6)
+
+
+def test_mm_bf16_probe_shape_and_class():
+    """The bf16 traffic probe is approximate by design (8 mantissa bits);
+    it must still land within bf16-class error of the exact frontend."""
+    rng = np.random.default_rng(31)
+    d = 14
+    blk = rng.integers(-2000, 2000, 2 * d * 32 * 24).astype(np.int16)
+    zi0, zq0 = pallas_frontend.capture_frontend_planar(blk, d, True)
+    zi1, zq1 = frontend_mxu.capture_frontend_mm_bf16(blk, d, True)
+    assert zi1.shape == zi0.shape and zi1.dtype == jnp.float32
+    err = np.abs(np.asarray(zi1) - np.asarray(zi0))
+    ref = np.abs(np.asarray(zi0)) + 1.0
+    assert np.max(err / ref) < 0.05        # bf16 class, not garbage
