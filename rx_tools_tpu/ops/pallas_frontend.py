@@ -183,6 +183,12 @@ def capture_frontend_planar(block_i16, downsample: int, rotate: bool = True):
             if _FE_CHOICE == "pallas":
                 return frontend_mxu.capture_frontend_mm_pallas(
                     block_i16, d, bool(rotate), p=p)
+            if _FE_CHOICE == "mm_i16":     # round-5 A/B: raw-int16 dot
+                return frontend_mxu.capture_frontend_mm_i16(
+                    block_i16, d, bool(rotate), p=p)
+            if _FE_CHOICE == "mm_bf16":    # round-5 traffic probe only
+                return frontend_mxu.capture_frontend_mm_bf16(
+                    block_i16, d, bool(rotate), p=p)
             return frontend_mxu.capture_frontend_mm(
                 block_i16, d, bool(rotate), p=p)
     y = block_i16.astype(jnp.float32) * _SCALE            # flat (2N,)
