@@ -62,7 +62,7 @@ def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     common.select_platform()
     try:
-        opts, args = getopt.getopt(argv, "f:s:n:k:D:M:A:c:r:b:e:d:g:p:a:")
+        opts, args = getopt.getopt(argv, "f:s:n:k:D:M:A:c:r:b:e:d:g:p:a:t:")
     except getopt.GetoptError as e:
         log("%s", str(e))
         usage()
@@ -82,6 +82,7 @@ def main(argv=None) -> int:
     gain_str = None
     ppm = 0.0
     antenna = None
+    dev_parallel = 1
 
     for opt, arg in opts:
         if opt == "-f":
@@ -114,6 +115,8 @@ def main(argv=None) -> int:
             ppm = atofs(arg)
         elif opt == "-a":
             antenna = arg
+        elif opt == "-t":
+            dev_parallel = int(arg)
 
     outdir = args[0] if args else None
     if outdir is None or freq is None:
@@ -146,6 +149,24 @@ def main(argv=None) -> int:
         state = pfb.init_state(cfg)
         step = pfb.pfb_step
         block_size = pfb.block_samples(cfg, target=block_target)
+        # round-5: the channel axis shards over local devices (zero
+        # steady-state collectives, bit-identical — parallel/chanshard.py)
+        import jax as _jax
+        want = (len(_jax.devices()) if dev_parallel <= 0
+                else min(dev_parallel, len(_jax.devices())))
+        n_mesh = 1
+        for cand in range(min(want, n_uniform), 0, -1):
+            if n_uniform % cand == 0:
+                n_mesh = cand
+                break
+        if n_mesh > 1:
+            from rx_tools_tpu.parallel import (make_mesh,
+                                               channel_sharded_pfb_step)
+            mesh_c = make_mesh(n_mesh, axis="c")
+
+            def step(c, s, b, _m=mesh_c):
+                return channel_sharded_pfb_step(c, s, b, _m)
+            log("Sharding %d channels over %d devices.", n_uniform, n_mesh)
     else:
         offsets = tuple(f - freq for f in stations)
         span = max(abs(o) for o in offsets)

@@ -170,18 +170,11 @@ def _dft_matrix(d: int) -> np.ndarray:
     return m
 
 
-def filterbank_mxu(cfg: PfbConfig, tail, block):
-    """MXU formulation of :func:`filterbank` — identical semantics.
-
-    Round-3 construct rules (docs/PERF.md): the conv formulation's
-    depthwise ``conv_general_dilated`` and its middle-axis splits keep the
-    branch axis (2D wide) on the VPU lane axis at partial width.  Here the
-    branch FIR is T shifted multiply-adds over a ``(2D, M+T-1)`` layout
-    (wide minor-axis slices, full lane width) and the branch DFT +
-    deinterleave is ONE ``(2D, 2D) @ (2D, M)`` matmul on the MXU
-    (for D=64 the contraction is exactly 128 lanes).  Precision HIGHEST
-    keeps f32-equivalent accuracy (inputs are 15-bit ints x scale).
-    """
+def _fb_pre_mxu(cfg: PfbConfig, tail, block):
+    """The branch-FIR half of :func:`filterbank_mxu`:
+    ``block -> (new_tail, w (2D, M))`` — shared with the channel-sharded
+    step (``parallel/chanshard.py``), whose devices dot ``w`` against
+    their own slice of the DFT matrix."""
     d, t = cfg.n_channels, cfg.taps_per_branch
     n = block.shape[0] // 2
     assert n % d == 0, (n, d)
@@ -201,11 +194,27 @@ def filterbank_mxu(cfg: PfbConfig, tail, block):
     w = ft[:, :m] * hb[0][:, None]
     for tt in range(1, t):
         w = w + ft[:, tt:tt + m] * hb[tt][:, None]          # (2D, M)
+    return xp_flat[-(2 * t * d):].reshape(t * d, 2), w
 
+
+def filterbank_mxu(cfg: PfbConfig, tail, block):
+    """MXU formulation of :func:`filterbank` — identical semantics.
+
+    Round-3 construct rules (docs/PERF.md): the conv formulation's
+    depthwise ``conv_general_dilated`` and its middle-axis splits keep the
+    branch axis (2D wide) on the VPU lane axis at partial width.  Here the
+    branch FIR is T shifted multiply-adds over a ``(2D, M+T-1)`` layout
+    (wide minor-axis slices, full lane width) and the branch DFT +
+    deinterleave is ONE ``(2D, 2D) @ (2D, M)`` matmul on the MXU
+    (for D=64 the contraction is exactly 128 lanes).  Precision HIGHEST
+    keeps f32-equivalent accuracy (inputs are 15-bit ints x scale).
+    """
+    d = cfg.n_channels
+    new_tail, w = _fb_pre_mxu(cfg, tail, block)
     ch = jax.lax.dot_general(jnp.asarray(_dft_matrix(d)), w,
                              (((1,), (0,)), ((), ())),
                              precision=jax.lax.Precision.HIGHEST)
-    return xp_flat[-(2 * t * d):].reshape(t * d, 2), ch[:d], ch[d:]
+    return new_tail, ch[:d], ch[d:]
 
 
 # ---------------------------------------------------------------------------

@@ -216,6 +216,51 @@ def test_time_sharded_exactly_one_permute():
     assert not exact_iir_supported(_cfg(dc_block_raw=True))
 
 
+def _pfb_cfg():
+    from rx_tools_tpu.models import pfb
+    return pfb.PfbConfig(capture_rate=1_024_000, n_channels=16, mode="fm",
+                         custom_atan=1, deemph_a=7, rate_out2=32_000)
+
+
+def test_channel_sharded_pfb_bit_exact():
+    """Round-5: the PFB channel axis shards over 8 devices BIT-identically
+    to the single-device step while streaming (per-channel math is
+    untouched; only the DFT row partition moves)."""
+    from rx_tools_tpu.models import pfb
+    from rx_tools_tpu.parallel import channel_sharded_pfb_step
+    cfg = _pfb_cfg()
+    n = pfb.block_samples(cfg, target=4096)
+    mesh = make_mesh(8, axis="c")
+    rng = np.random.default_rng(11)
+    st_u, st_s = pfb.init_state(cfg), pfb.init_state(cfg)
+    for b in range(3):
+        blk = rng.integers(-3000, 3000, 2 * n).astype(np.int16)
+        st_u, a_u, nv_u = pfb.pfb_step(cfg, st_u, jnp.asarray(blk))
+        st_s, a_s, nv_s = channel_sharded_pfb_step(cfg, st_s,
+                                                   jnp.asarray(blk), mesh)
+        np.testing.assert_array_equal(np.asarray(a_u), np.asarray(a_s),
+                                      err_msg=f"block {b}")
+        np.testing.assert_array_equal(np.asarray(nv_u), np.asarray(nv_s))
+    for lu, ls in zip(jax.tree.leaves(st_u), jax.tree.leaves(st_s)):
+        np.testing.assert_array_equal(np.asarray(lu), np.asarray(ls))
+
+
+def test_channel_sharded_pfb_zero_collectives():
+    """The channel-sharded step must compile to NO cross-device traffic —
+    the replicated branch FIR + per-shard DFT slice IS the partition."""
+    from rx_tools_tpu.models import pfb
+    from rx_tools_tpu.parallel.chanshard import _sharded_step, _dft_slices
+    cfg = _pfb_cfg()
+    n = pfb.block_samples(cfg, target=4096)
+    mesh = make_mesh(8, axis="c")
+    st = pfb.init_state(cfg)
+    dfts = jnp.asarray(_dft_slices(cfg.n_channels, 8))
+    hlo = _sharded_step(cfg, mesh).lower(
+        st.tail, jnp.zeros(2 * n, jnp.int16), dfts, st.prev_iq,
+        st.deemph_avg, st.resamp.acc, st.resamp.phase).compile().as_text()
+    assert _collectives_in(hlo) == [], _collectives_in(hlo)[:3]
+
+
 def test_hop_sharded_sweep_exact():
     cfg = powerscan.PowerConfig(bin_e=6, downsample=1, buf_len=512)
     h = 8

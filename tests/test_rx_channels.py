@@ -104,3 +104,21 @@ def test_deemph_alpha_uses_channel_rate(tmp_path):
         rx_channels.channelizer.ChannelizerConfig = orig
     assert rc == 0
     assert captured["deemph_a"] == ops.deemph_alpha(2_400_000 // 16, 75)
+
+
+def test_pfb_channel_sharded_cli_identical(tmp_path):
+    """Round-5: `-t 8` shards the PFB channel axis over the 8 virtual
+    devices; every channel file is byte-identical to the single-device
+    run (parallel/chanshard.py is bit-exact by construction)."""
+    args = ["-f", "100M", "-s", "1024k", "-n", "16", "-M", "fm",
+            "-A", "fast", "-c", "us", "-r", "32k", "-e", "1",
+            "-d", "synth=fm,det=1,seed=9,carrier=100.192M,audio=1k,"
+                  "dev=15k,amp=0.8"]
+    out1, out8 = tmp_path / "t1", tmp_path / "t8"
+    assert rx_channels.main(args + ["-t", "1", str(out1)]) == 0
+    assert rx_channels.main(args + ["-t", "8", str(out8)]) == 0
+    f1 = sorted(out1.glob("ch*.s16"))
+    f8 = sorted(out8.glob("ch*.s16"))
+    assert [p.name for p in f1] == [p.name for p in f8] and len(f1) == 16
+    for a, b in zip(f1, f8):
+        assert a.read_bytes() == b.read_bytes(), a.name
