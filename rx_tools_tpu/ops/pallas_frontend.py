@@ -58,12 +58,20 @@ _SCALE = np.float32(128.0 / 32767.0)
 # reading the env per-trace would make a later toggle silently
 # ineffective for already-traced programs while appearing to work for
 # new ones (advisor finding, round 3).  RX_FE=masked forces the pure-XLA
-# masked-reduce path, RX_FE=pallas the fused-convert kernel; the default
-# is the plain XLA block-banded dot (round-4 A/B, tools/chipsuite18.py:
-# in-chain 53.8 GB/s vs 39.4 Pallas vs 18.9 masked — the pallas_call
-# streaming pipeline itself caps at ~34 GB/s on this backend while XLA
-# reads the same chunks at 130-155).
-_FE_CHOICE = __import__("os").environ.get("RX_FE", "mm")
+# masked-reduce path, RX_FE=pallas the fused-convert kernel, RX_FE=mm the
+# round-4 f32 block-banded dot (in-chain 53.8 GB/s vs 39.4 Pallas vs 18.9
+# masked, tools/chipsuite18.py — the pallas_call streaming pipeline
+# itself caps at ~34 GB/s on this backend while XLA reads the same chunks
+# at 130-155).  The DEFAULT since round 5 is the raw-int16 dot
+# (``frontend_mxu.capture_frontend_mm_i16``): the f32 dot's converted
+# input materialization costs ~8 B of HBM per 2 B input, while the int16
+# dot reads the raw stream with int32 accumulation — in-chain 42.1 vs
+# 36.3 GB/s same-session (tools/chipsuite23.py), and the result is
+# INTEGER-EXACT (the same mask sums the C computes) instead of
+# f32-reassociated.  The bf16-intermediate probe (61.6 GB/s, 8 mantissa
+# bits, golden-breaking) confirms the traffic amplification is the cost;
+# mm_i16 takes the exact fraction of that win.
+_FE_CHOICE = __import__("os").environ.get("RX_FE", "mm_i16")
 _FE_FORCE_MASKED = _FE_CHOICE == "masked"
 
 
@@ -156,16 +164,20 @@ def capture_frontend_planar(block_i16, downsample: int, rotate: bool = True):
 
     THE production frontend dispatch (both chain engines call this).  On
     TPU, when the output length admits a phase-block size >= 8, dispatches
-    to the plain XLA block-banded dot (``frontend_mxu.capture_frontend_mm``)
-    — the round-4 A/B (tools/chipsuite18.py): in-chain 53.8 GB/s vs 39.4
-    for the round-3 Pallas fused-convert kernel vs 18.9 masked.  The
-    Pallas kernel's own streaming pipeline caps at ~34 GB/s on this
-    backend (a trivial convert+rowsum kernel reads no faster), which
-    retro-explains round 3's kernel-vs-masked win: both sat under the
-    same lid.  ``RX_FE=masked`` / ``RX_FE=pallas`` (read once at module
-    import) force the other paths; the backend check runs at trace time,
-    i.e. the choice targets the process's default backend and is baked
-    into the jit cache.
+    to the raw-int16 block-banded dot
+    (``frontend_mxu.capture_frontend_mm_i16``, round-5 default): the dot
+    consumes the int16 stream directly with int32 accumulation — no
+    converted f32 intermediate exists, and the sums are INTEGER-EXACT.
+    In-chain 42.1 GB/s vs 36.3 for the round-4 f32 dot, same session
+    (tools/chipsuite23.py); the f32 dot's converted-input materialization
+    (~8 B HBM per 2 B input) was the measured cost, confirmed by the
+    bf16-intermediate probe at 61.6.  ``RX_FE=mm`` restores the f32 dot;
+    ``RX_FE=masked`` / ``RX_FE=pallas`` force the older paths (round-4
+    A/B, tools/chipsuite18.py: mm 53.8 / pallas 39.4 / masked 18.9 — the
+    pallas_call streaming pipeline itself caps at ~34 GB/s on this
+    backend).  The env is read once at module import and the backend
+    check runs at trace time, i.e. the choice targets the process's
+    default backend and is baked into the jit cache.
 
     Masked-sum fallback (see :func:`_fs4_decim_masks`): ~39 GB/s on the
     chip vs 0.6 GB/s for the previous rotate-then-reshape composition —
