@@ -130,6 +130,7 @@ def main(argv=None) -> int:
 
     d = n_uniform if n_uniform else decim
     channel_rate = rate // d
+    tmaj_layout = False
     deemph_a = 0
     if mode == "fm" and deemph_arg != "off":
         tc_us = {"us": 75, "eu": 50}.get(deemph_arg)
@@ -167,6 +168,17 @@ def main(argv=None) -> int:
             def step(c, s, b, _m=mesh_c):
                 return channel_sharded_pfb_step(c, s, b, _m)
             log("Sharding %d channels over %d devices.", n_uniform, n_mesh)
+        elif (os.environ.get("RX_PFB", "tmaj") == "tmaj"
+              and mode != "raw"
+              and (block_size // n_uniform) % 128 == 0):
+            # round-5 single-device default: the time-major step — every
+            # tail construct row-major, measured ~6x the channel-major
+            # step on TPU (models/pfb.py pfb_step_tmaj; RX_PFB=cm
+            # restores the channel-major engine, which is also what the
+            # -t sharded path runs per shard)
+            state = pfb.init_state_tmaj(cfg)
+            step = pfb.pfb_step_tmaj
+            tmaj_layout = True
     else:
         offsets = tuple(f - freq for f in stations)
         span = max(abs(o) for o in offsets)
@@ -233,6 +245,11 @@ def main(argv=None) -> int:
                     [pend, np.zeros(2 * (block_size - valid), np.int16)])
             state, audio, n_valid = step(cfg, state, pend[: 2 * block_size])
             audio, n_valid = jax.device_get((audio, n_valid))
+            if tmaj_layout:
+                # time-major engine: audio is (cap, C) with one shared
+                # valid count — transpose is a free numpy view
+                audio = np.asarray(audio).T
+                n_valid = np.full(audio.shape[0], int(n_valid))
             frac = valid / block_size
             for i, fh in enumerate(files):
                 keep = int(round(int(n_valid[i]) * frac))

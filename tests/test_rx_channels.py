@@ -106,10 +106,13 @@ def test_deemph_alpha_uses_channel_rate(tmp_path):
     assert captured["deemph_a"] == ops.deemph_alpha(2_400_000 // 16, 75)
 
 
-def test_pfb_channel_sharded_cli_identical(tmp_path):
+def test_pfb_channel_sharded_cli_identical(tmp_path, monkeypatch):
     """Round-5: `-t 8` shards the PFB channel axis over the 8 virtual
     devices; every channel file is byte-identical to the single-device
-    run (parallel/chanshard.py is bit-exact by construction)."""
+    run (parallel/chanshard.py is bit-exact by construction).  RX_PFB=cm
+    pins the single-device run to the channel-major engine the shards run
+    (the time-major default differs by float association only)."""
+    monkeypatch.setenv("RX_PFB", "cm")
     args = ["-f", "100M", "-s", "1024k", "-n", "16", "-M", "fm",
             "-A", "fast", "-c", "us", "-r", "32k", "-e", "1",
             "-d", "synth=fm,det=1,seed=9,carrier=100.192M,audio=1k,"
@@ -122,3 +125,25 @@ def test_pfb_channel_sharded_cli_identical(tmp_path):
     assert [p.name for p in f1] == [p.name for p in f8] and len(f1) == 16
     for a, b in zip(f1, f8):
         assert a.read_bytes() == b.read_bytes(), a.name
+
+
+def test_pfb_tmaj_cli_default_and_escape(tmp_path, monkeypatch):
+    """The single-device PFB CLI defaults to the time-major engine; its
+    audio matches the channel-major engine's (RX_PFB=cm) to float
+    association on every channel."""
+    args = ["-f", "100M", "-s", "1024k", "-n", "16", "-M", "fm",
+            "-A", "fast", "-c", "us", "-r", "32k", "-e", "1",
+            "-d", "synth=fm,det=1,seed=7,carrier=100.192M,audio=1k,"
+                  "dev=15k,amp=0.8"]
+    out_t, out_c = tmp_path / "tm", tmp_path / "cm"
+    assert rx_channels.main(args + [str(out_t)]) == 0
+    monkeypatch.setenv("RX_PFB", "cm")
+    assert rx_channels.main(args + [str(out_c)]) == 0
+    ft = sorted(out_t.glob("ch*.s16"))
+    fc = sorted(out_c.glob("ch*.s16"))
+    assert [p.name for p in ft] == [p.name for p in fc] and len(ft) == 16
+    for a, b in zip(ft, fc):
+        x = np.fromfile(a, np.int16).astype(np.float64)
+        y = np.fromfile(b, np.int16).astype(np.float64)
+        assert x.size == y.size > 1000, a.name
+        assert np.max(np.abs(x - y)) <= 2.0, a.name   # association-class
