@@ -233,6 +233,103 @@ def main():
             (good if 0.0 < v < max_rate else rejected).append(v)
         return good, rejected
 
+    # ---- secondary metric 1: the rx_power FFT hot loop -----------------
+    # (rtl_power.c:747-770 analog; ops/spectrum.py batched windowed FFT +
+    # |X|^2 accumulate at 2048 bins x 512 segments).  fori passes keyed on
+    # the loop index (fresh data every pass, nothing hoistable), same
+    # K-differenced gated-rounds method; 3 rounds (secondary metric).
+    def measure_fft():
+        from rx_tools_tpu.ops import spectrum as sp
+        from rx_tools_tpu import ops as _ops
+        bins, segs = 2048, 512
+        fpool = jax.device_put(np.random.default_rng(2).integers(
+            -16000, 16000, (4, segs, bins, 2)).astype(np.int16))
+        win = jnp.asarray(_ops.window("hamming", bins))
+
+        def make(n_passes):
+            @jax.jit
+            def run(pool):
+                def body(r, acc):
+                    for c in range(4):
+                        x = (jnp.bitwise_xor(pool[c],
+                                             (r + 1).astype(jnp.int16))
+                             .astype(jnp.float32) * jnp.float32(1 / 256.0))
+                        avg = jnp.zeros((bins,), jnp.float32)
+                        samples = jnp.zeros((), jnp.int32)
+                        avg, samples = sp.segmented_power_spectrum(
+                            x, win, avg, samples, 1, False)
+                        acc = acc + jnp.sum(avg) + samples.astype(jnp.float32)
+                    return acc
+                return jax.lax.fori_loop(0, n_passes, body,
+                                         jnp.zeros((), jnp.float32))
+            return run
+
+        cs = 4 * segs * bins
+        r1, r2 = make(1), make(17)
+        float(r1(fpool)); float(r2(fpool))
+        meds = []
+        for _ in range(3):
+            t1s, t2s = [], []
+            for _ in range(10):
+                t0 = time.perf_counter(); float(r1(fpool))
+                t1s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter(); float(r2(fpool))
+                t2s.append(time.perf_counter() - t0)
+            dt = (statistics.median(t2s) - statistics.median(t1s)) / 16
+            if dt > 0:
+                meds.append(cs / dt)
+        return statistics.median(meds) if meds else 0.0
+
+    fft_rate = measure_fft()
+
+    # ---- secondary metric 2: the 64-channel PFB channelizer step -------
+    # (beyond-reference model; time-major engine, models/pfb.py round-5).
+    # Distinct 2 MB chunks per pass, carried state threaded, checksummed.
+    def measure_pfb():
+        from rx_tools_tpu.models import pfb
+        pcfg = pfb.PfbConfig(capture_rate=RATE_IN_CAPTURE, n_channels=64,
+                             custom_atan=1, deemph_a=7, rate_out2=32_000)
+        nb = pfb.block_samples(pcfg, target=524288)
+        PCH, PK1, PK2 = 4, 1, 13
+        pool = jax.device_put(np.random.default_rng(3).integers(
+            -16000, 16000, (PK2 * PCH, 2 * nb)).astype(np.int16))
+        st0 = pfb.init_state_tmaj(pcfg)
+
+        def make(n_passes):
+            @jax.jit
+            def run(args):
+                st, p = args
+                acc = jnp.zeros(())
+                for r in range(n_passes):
+                    for c in range(PCH):
+                        st, audio, nv = pfb.pfb_step_tmaj(
+                            pcfg, st, p[r * PCH + c])
+                        acc = (acc + jnp.sum(audio)
+                               + nv.astype(jnp.float32))
+                return acc + st.deemph_avg.sum()
+            return run
+
+        per_pass = PCH * 2 * nb * 2.0          # bytes per pass
+        r1, r2 = make(PK1), make(PK2)
+        float(r1((st0, pool))); float(r2((st0, pool)))
+        good = []
+        for _ in range(7):
+            if len(good) >= 3:
+                break
+            t1s, t2s = [], []
+            for _ in range(10):
+                t0 = time.perf_counter(); float(r1((st0, pool)))
+                t1s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter(); float(r2((st0, pool)))
+                t2s.append(time.perf_counter() - t0)
+            dt = (statistics.median(t2s) - statistics.median(t1s)) / (PK2 - PK1)
+            v = per_pass / dt if dt > 0 else 0.0
+            if 0.0 < v < (ceiling * 1.25 if ceiling else float("inf")):
+                good.append(v)
+        return statistics.median(good) if good else 0.0
+
+    pfb_rate = measure_pfb()
+
     # two equivalent engines (golden-tested identical): the per-block
     # traced-loop engine and the scan-free flat formulation
     # (models/fmchunk.py); report the better of the two on this chip/run.
@@ -267,6 +364,12 @@ def main():
                             for k, v in rejects.items() if v},
         "all_engines_gsps": {k: round(v / 1e9, 2)
                              for k, v in results.items()},
+        # secondary workload metrics (round-5 verdict item 3): the
+        # rx_power FFT hot loop and the 64-channel PFB channelizer step,
+        # so regressions in the non-WBFM paths hit the artifact trail
+        "fft_gcsps": round(fft_rate / 1e9, 2),
+        "pfb_step_gbs": round(pfb_rate / 1e9, 2),
+        "channel_rt_equiv": round(pfb_rate / 4.0 / RATE_IN_CAPTURE * 64, 0),
     }))
     print(f"# engine={engine} block={n} chunk={blocks_per_chunk} "
           f"backend={jax.default_backend()} "
