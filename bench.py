@@ -224,14 +224,6 @@ def main():
     # rounds are discarded and re-measured, up to a bounded retry budget.
     max_rate = (ceiling * 1.25 / 4.0) if ceiling else float("inf")
 
-    def gated_rounds(engine, want=5, max_attempts=9):
-        good, rejected = [], []
-        for _ in range(max_attempts):
-            if len(good) >= want:
-                break
-            v = measure(engine, K1, K2)
-            (good if 0.0 < v < max_rate else rejected).append(v)
-        return good, rejected
 
     # ---- secondary metric 1: the rx_power FFT hot loop -----------------
     # (rtl_power.c:747-770 analog; ops/spectrum.py batched windowed FFT +
@@ -334,11 +326,23 @@ def main():
     # traced-loop engine and the scan-free flat formulation
     # (models/fmchunk.py); report the better of the two on this chip/run.
     # The chip's delivered rate fluctuates over seconds (shared tunnel /
-    # power states): median of >= 5 gated rounds per engine.
-    rounds, rejects = {}, {}
-    for name, eng in (("scan", scan_fm_blocks),
-                      ("flat", fmchunk.fm_chunk_step)):
-        rounds[name], rejects[name] = gated_rounds(eng)
+    # power states): median of >= 5 gated rounds per engine, and the
+    # engines' rounds INTERLEAVE (scan, flat, scan, flat, ...) so slow
+    # and fast chip states hit both equally — back-to-back round blocks
+    # skewed the r05-trial scan/flat ratio ~1.5x vs the same-session
+    # interleaved A/B (tools/chipsuite23.py).
+    engines = (("scan", scan_fm_blocks), ("flat", fmchunk.fm_chunk_step))
+    rounds = {k: [] for k, _ in engines}
+    rejects = {k: [] for k, _ in engines}
+    for _ in range(9):
+        if all(len(v) >= 5 for v in rounds.values()):
+            break
+        for name, eng in engines:
+            if len(rounds[name]) >= 5:
+                continue
+            v = measure(eng, K1, K2)
+            (rounds[name] if 0.0 < v < max_rate
+             else rejects[name]).append(v)
     results = {k: (statistics.median(v) if v else 0.0)
                for k, v in rounds.items()}
     engine, rate = max(results.items(), key=lambda kv: kv[1])
