@@ -52,16 +52,32 @@ def main():
     per_pass = CH * 12 * n * 4.0
 
     variants = {
-        "scan_full": (scan_fm_blocks, cfg),
+        "scan_full": (scan_fm_blocks, cfg, None),
         "scan_nors": (scan_fm_blocks,
-                      dataclasses.replace(cfg, rate_out2=-1)),
+                      dataclasses.replace(cfg, rate_out2=-1), None),
         "scan_nodnr": (scan_fm_blocks,
-                       dataclasses.replace(cfg, rate_out2=-1, deemph_a=0)),
-        "flat_full": (fmchunk.fm_chunk_step, cfg),
+                       dataclasses.replace(cfg, rate_out2=-1, deemph_a=0),
+                       None),
+        "flat_full": (fmchunk.fm_chunk_step, cfg, None),
+        # interleaved decision round for the chipsuite24 p-sweep hint
+        # (p=16 medianed above p=32 but in drifting, non-interleaved
+        # rounds): flat chain with the i16 dot at p=16
+        "flat_p16": (fmchunk.fm_chunk_step, cfg, 16),
     }
 
-    def make(eng, cfgv, k):
+    from rx_tools_tpu.ops import frontend_mxu
+    orig_planar = ops.capture_frontend_planar
+
+    def make(eng, cfgv, k, p_override):
         st0 = fmchain.init_state(cfgv)
+        if p_override is not None:
+            ops.capture_frontend_planar = (
+                lambda b, d, rotate=True, _p=p_override:
+                frontend_mxu.capture_frontend_mm_i16(b, d, rotate, p=_p))
+            fmchunk.fm_chunk_step.clear_cache()
+        else:
+            ops.capture_frontend_planar = orig_planar
+            fmchunk.fm_chunk_step.clear_cache()
 
         @jax.jit
         def run(pool):
@@ -76,11 +92,12 @@ def main():
         return run
 
     runs = {}
-    for name, (eng, cfgv) in variants.items():
-        r1, r2 = make(eng, cfgv, K1), make(eng, cfgv, K2)
+    for name, (eng, cfgv, p_ov) in variants.items():
+        r1, r2 = make(eng, cfgv, K1, p_ov), make(eng, cfgv, K2, p_ov)
         t0 = time.time(); float(r1(pool)); float(r2(pool))
         log(f"{name} compiled in {time.time()-t0:.0f}s")
         runs[name] = (r1, r2)
+    ops.capture_frontend_planar = orig_planar
 
     rounds = {k: [] for k in variants}
     for _ in range(4):                      # interleaved rounds
