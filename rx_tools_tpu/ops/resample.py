@@ -148,6 +148,24 @@ def _pick_rows(v, idx, lanes: int = 128):
 
 # A/B escape hatch for the gather-free TPU resampler (tools/chipsuite17)
 _ROWS_OFF = False
+# test hook: force the rows path on any backend (the dispatch below is
+# TPU-only; CPU golden tests of rows-path consumers set this)
+_ROWS_FORCE = False
+
+
+def rows_path_eligible(n: int, fast: int, slow: int) -> bool:
+    """True when :func:`resample_rational` would dispatch block length
+    ``n`` to the gather-free rows formulation (callers that must stay
+    BIT-identical to it — e.g. the scan engine's batched tail — gate on
+    this)."""
+    import math as _m
+    g = _m.gcd(int(fast), int(slow))
+    f, s = int(fast) // g, int(slow) // g
+    if _ROWS_OFF:
+        return False
+    if not (_ROWS_FORCE or jax.default_backend() == "tpu"):
+        return False
+    return n % 128 == 0 and f // s + 1 <= 16
 
 
 class ResampleState(NamedTuple):
@@ -277,6 +295,123 @@ def _resample_rows(state: ResampleState, x, fast: int, slow: int):
             y, n_valid)
 
 
+def resample_rows_blocks(state: ResampleState, x, fast: int, slow: int):
+    """``M`` sequential per-block :func:`_resample_rows` calls as ONE
+    program: ``x`` (M, N) -> ``(state, y (M, cap), n_valid (M,))``,
+    BIT-identical to the loop (tests pin this).
+
+    The scan engine's per-block audio tail is its measured residual vs
+    the flat engine (tools/chipsuite25.py: scan 28.5 GB/s -> 44.2 with
+    the resampler ablated, vs flat 39.8 — M small resampler programs
+    cost ~per-op overhead, not work).  The per-block carried state is
+    deterministic: the phase chain is exact integer arithmetic, and the
+    acc chain is M scalar f32 steps whose inputs (per-block grand totals
+    and consumed-prefix sums) come from batched reductions — so every
+    array stage runs batched over a leading block axis with the SAME
+    per-element operation order as the per-block calls, and only the
+    M-step scalar acc chain is sequential.  Gate callers on
+    :func:`rows_path_eligible` (this must match what per-block
+    ``resample_rational`` would dispatch to)."""
+    import math as _m
+    g = _m.gcd(int(fast), int(slow))
+    fast, slow = int(fast) // g, int(slow) // g
+    mblk, n = x.shape
+    ll = 128
+    r = n // ll
+    w_max = fast // slow + 1
+    ext = w_max + 2
+    e_slots = (ll * slow) // fast + 2
+    nr = w_max + 2
+    cap = n * slow // fast + 2
+    divisor = jnp.float32(1.0 / (fast // slow))
+    if (mblk * n) * slow + fast >= 2 ** 31:
+        raise ValueError("chunk too large for the int32 phase chain")
+
+    # exact integer per-block phase chain (same values the loop carries)
+    phs = [state.phase.astype(jnp.int32)]
+    for _ in range(1, mblk):
+        phs.append((phs[-1] + n * slow) % fast)
+    phase = jnp.stack(phs)                                 # (M,)
+    phb = phase[:, None, None]
+
+    from rx_tools_tpu.ops.filters import _scan_matrix
+    xp = x.reshape(mblk * r, ll)
+    u = jnp.asarray(_scan_matrix(ll, 1.0))
+    s = jax.lax.dot_general(xp, u, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (mblk * r, ll), 1)
+    rowtot = jnp.sum(jnp.where(lane_i == ll - 1, s, 0.0),
+                     axis=1).reshape(mblk, r)              # (M, R)
+    s3 = s.reshape(mblk, r, ll)
+    prev_tail = s3[:, :-1, ll - ext:] - rowtot[:, :-1, None]
+    prev_tail = jnp.concatenate(
+        [jnp.zeros((mblk, 1, ext), s.dtype), prev_tail], axis=1)
+    csumext = jnp.concatenate([prev_tail, s3], axis=2)     # (M, R, L+EXT)
+
+    # --- stage 3: window sums in (block, row, slot) layout ---------------
+    ri = jnp.arange(r, dtype=jnp.int32)[None, :, None]
+    ei = jnp.arange(e_slots, dtype=jnp.int32)[None, None, :]
+    k0 = (phb + (ll * ri) * slow) // fast
+    k0n = (phb + (ll * (ri + 1)) * slow) // fast
+    k_re = k0 + ei                                         # (M, R, E)
+    total = (phase + n * slow) // fast                     # (M,)
+    pos = ((k_re + 1) * fast - phb + slow - 1) // slow - 1
+    pos_prev = (k_re * fast - phb + slow - 1) // slow - 1
+    valid = (ei < (k0n - k0)) & (k_re < total[:, None, None])
+    el = pos - ll * ri + ext
+    sl = jnp.maximum(pos_prev - ll * ri + ext, 0)
+    lanes = jnp.arange(ll + ext, dtype=jnp.int32)
+    ends = jnp.sum(jnp.where(lanes == el[..., None],
+                             csumext[:, :, None, :], 0.0), axis=-1)
+    starts = jnp.sum(jnp.where(lanes == sl[..., None],
+                               csumext[:, :, None, :], 0.0), axis=-1)
+    w = jnp.where(valid, ends - starts, 0.0)               # (M, R, E)
+
+    # --- stage 4: flat extraction in output layout -----------------------
+    cap_r = -(-cap // ll)
+    q = jnp.arange(cap_r, dtype=jnp.int32)[None, :, None]
+    kq = ll * q                                            # (1, capR, 1)
+    pos_q = jnp.clip(((kq + 1) * fast - phb + slow - 1) // slow - 1,
+                     0, n - 1)
+    r0 = jnp.clip(pos_q // ll, 0, max(r - nr, 0))          # (M, capR, 1)
+    rwin = r0 + jnp.arange(nr, dtype=jnp.int32)[None, None, :]
+    # batched row gather: global rows of the (M*R, E) stack (identical
+    # elements to the per-block jnp.take(w, rwin, axis=0))
+    blk_off = (jnp.arange(mblk, dtype=jnp.int32) * r)[:, None, None]
+    win = jnp.take(w.reshape(mblk * r, e_slots),
+                   (rwin + blk_off).reshape(-1), axis=0
+                   ).reshape(mblk, cap_r, nr, e_slots)
+    k0w = (phb[..., None] + (ll * rwin[..., None]) * slow) // fast
+    target = k0w + jnp.arange(e_slots, dtype=jnp.int32)    # (M, capR, NR, E)
+    tf = target.reshape(mblk, cap_r, 1, nr * e_slots)
+    wf = win.reshape(mblk, cap_r, 1, nr * e_slots)
+    out_k = (kq + jnp.arange(ll, dtype=jnp.int32)[None, None, :])[..., None]
+    y = jnp.sum(jnp.where(tf == out_k, wf, 0.0), axis=-1)  # (M, capR, L)
+    y = y.reshape(mblk, -1)[:, :cap]
+    kk = jnp.arange(cap)[None, :]
+
+    # --- the M-step scalar acc chain (exact per-block op order) ----------
+    carry_excl = jnp.cumsum(rowtot, axis=1) - rowtot       # (M, R)
+    total_x = carry_excl[:, -1] + rowtot[:, -1]            # (M,)
+    pos_last = jnp.clip((total * fast - phase + slow - 1) // slow - 1,
+                        0, n - 1)
+    csum_last = (jnp.take_along_axis(
+                     s3.reshape(mblk, r * ll), pos_last[:, None], axis=1)[:, 0]
+                 + jnp.take_along_axis(
+                     carry_excl, (pos_last // ll)[:, None], axis=1)[:, 0])
+    accs = [state.acc]
+    for i in range(mblk):
+        consumed_end = jnp.where(total[i] > 0, csum_last[i] + accs[i], 0.0)
+        accs.append(total_x[i] + accs[i] - consumed_end)
+    acc_vec = jnp.stack(accs[:-1])                         # (M,) at starts
+    y = y + jnp.where(kk == 0, acc_vec[:, None], 0.0)
+    y = jnp.where(kk < total[:, None], y * divisor, 0.0)
+    final_phase = (phase[mblk - 1] + n * slow) % fast
+    return (ResampleState(accs[-1].astype(jnp.float32),
+                          final_phase.astype(jnp.int32)),
+            y, total.astype(jnp.int32))
+
+
 def resample_rational(state: ResampleState, x, fast: int, slow: int):
     """General carried-phase resampler.
 
@@ -310,8 +445,9 @@ def resample_rational(state: ResampleState, x, fast: int, slow: int):
     fast, slow = int(fast) // g, int(slow) // g
     # round-4 TPU path: gather-free row formulation (same emission grid
     # and carried state; f32 association differs) — see _resample_rows
-    if (not _ROWS_OFF and jax.default_backend() == "tpu" and n % 128 == 0
-            and fast // slow + 1 <= 16):
+    if (not _ROWS_OFF
+            and (_ROWS_FORCE or jax.default_backend() == "tpu")
+            and n % 128 == 0 and fast // slow + 1 <= 16):
         return _resample_rows(state, x, fast, slow)
     # phase after consuming sample j (1-indexed): c_j = phase0 + j*slow
     j = jnp.arange(1, n + 1)

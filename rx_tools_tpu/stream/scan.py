@@ -123,8 +123,23 @@ def _scan_batched_front(cfg, state, blocks):
     else:  # raw
         d = jnp.stack([zi, zq], axis=-1).reshape(-1)
 
+    # Per-block resampler calls are the measured residual of this engine
+    # (tools/chipsuite25.py: scan 28.5 GB/s -> 44.2 with the resampler
+    # ablated, vs flat 39.8 — M small programs cost per-op overhead, not
+    # work).  When every per-block call would dispatch to the gather-free
+    # rows formulation, the whole per-block resampler sequence runs as
+    # ONE batched program instead (ops.resample.resample_rows_blocks),
+    # BIT-identical to the loop by construction (unit-pinned).
+    from rx_tools_tpu.ops.resample import (resample_rows_blocks,
+                                           rows_path_eligible)
+    k2 = kpb // max(cfg.post_downsample, 1)
+    batched_rs = (cfg.mode != "raw" and cfg.rate_out2 > 0
+                  and cfg.resample_quality == 0
+                  and rows_path_eligible(k2, cfg.rate_out, cfg.rate_out2))
+
     audio, n_valid, levels = [], [], []
     st = state
+    deemph_avg, dc_avg = state.deemph_avg, state.dc_avg
     for i in range(m):
         zib = jax.lax.slice(zi, (i * kpb,), ((i + 1) * kpb,))
         zqb = jax.lax.slice(zq, (i * kpb,), ((i + 1) * kpb,))
@@ -142,12 +157,33 @@ def _scan_batched_front(cfg, state, blocks):
                                                     cfg.custom_atan)
         else:
             a = jax.lax.slice(d, (i * kpb,), ((i + 1) * kpb,))
+        if batched_rs:
+            # replicate _fm_post's per-block stages up to the resampler
+            if cfg.post_downsample > 1:
+                a = ops.low_pass_simple(a, cfg.post_downsample)
+            if cfg.deemph_a:
+                deemph_avg, a = ops.deemph_filter(deemph_avg, a,
+                                                  cfg.deemph_a)
+            if cfg.dc_block_audio:
+                dc_avg, a = ops.dc_block_audio(dc_avg, a)
+            audio.append(a)
+            levels.append(level)
+            continue
         st, a_out, nv, _ = fmchain._fm_post(
             cfg, st, a, level, prev_iq, st.dc_iq, st.fifth, st.droop,
             st.boxcar, st.polyfir, st.squelch_hits)
         audio.append(a_out)
         n_valid.append(nv)
         levels.append(level)
+    if batched_rs:
+        resamp, y, nv = resample_rows_blocks(
+            st.resamp, jnp.stack(audio), cfg.rate_out, cfg.rate_out2)
+        st = fmchain.FmState(
+            dc_iq=st.dc_iq, boxcar=st.boxcar, fifth=st.fifth,
+            droop=st.droop, prev_iq=prev_iq, deemph_avg=deemph_avg,
+            dc_avg=dc_avg, resamp=resamp, squelch_hits=st.squelch_hits,
+            polyfir=st.polyfir, sincresamp=st.sincresamp)
+        return st, y, nv, jnp.stack(levels)
     return (st, jnp.stack(audio), jnp.stack(n_valid), jnp.stack(levels))
 
 

@@ -65,3 +65,34 @@ def test_cumsum_mxu_matches_jnp():
         want = np.asarray(jnp.cumsum(x))
         scale = np.abs(want).max() + 1
         np.testing.assert_allclose(got, want, atol=2e-6 * scale)
+
+
+def test_rows_blocks_bitwise_equals_sequential():
+    """Round-5: resample_rows_blocks == M sequential _resample_rows calls
+    BIT-for-bit (outputs, valid counts, carried acc/phase) — the scan
+    engine's batched tail depends on this identity."""
+    from rx_tools_tpu.ops import resample as rs
+    import jax.numpy as jnp
+    rng = np.random.default_rng(17)
+    for fast, slow, n, m in ((42857, 8000, 1536, 5), (85, 16, 1280, 7),
+                             (75, 64, 2048, 3), (3, 1, 896, 4)):
+        x = rng.normal(0, 9000, (m, n)).astype(np.float32)
+        st = rs.ResampleState(jnp.float32(rng.normal() * 100),
+                              jnp.int32(rng.integers(0, 5)))
+        import math
+        g = math.gcd(fast, slow)
+        st_seq = st
+        ys, nvs = [], []
+        for i in range(m):
+            st_seq, y, nv = rs._resample_rows(st_seq, jnp.asarray(x[i]),
+                                              fast // g, slow // g)
+            ys.append(np.asarray(y))
+            nvs.append(int(nv))
+        st_b, yb, nvb = rs.resample_rows_blocks(st, jnp.asarray(x),
+                                                fast, slow)
+        np.testing.assert_array_equal(np.stack(ys), np.asarray(yb),
+                                      err_msg=f"{fast}/{slow}")
+        np.testing.assert_array_equal(np.array(nvs), np.asarray(nvb))
+        np.testing.assert_array_equal(np.asarray(st_seq.acc),
+                                      np.asarray(st_b.acc))
+        assert int(st_seq.phase) == int(st_b.phase)

@@ -82,6 +82,44 @@ def test_scan_engine_bit_identical_to_stepping(kw):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_scan_engine_bit_identical_rows_path():
+    """The TPU rows-resampler path (forced on CPU via the test hook):
+    the scan engine's BATCHED per-block resampler
+    (ops.resample.resample_rows_blocks) must still be bit-identical to
+    per-block stepping, state pytree included."""
+    from rx_tools_tpu.ops import resample as rs
+    import jax
+    cfg = fmchain.FmConfig(mode="fm", rate_in=171428, rate_out=171428,
+                           rate_out2=32000, downsample=14, custom_atan=1,
+                           deemph_a=7, squelch_level=0.0)
+    n = fmchain.block_samples(cfg, target=14 * 1536)
+    assert (n // 14) % 128 == 0
+    rng = np.random.default_rng(4)
+    blocks = np.stack([rng.integers(-2000, 2000, 2 * n).astype(np.int16)
+                       for _ in range(5)])
+    old = rs._ROWS_FORCE
+    rs._ROWS_FORCE = True
+    fmchain.fm_chain_step.clear_cache()
+    scan_mod.scan_fm_blocks.clear_cache()
+    try:
+        st_scan, audio_s, nv_s, lv_s = scan_mod.scan_fm_blocks(
+            cfg, fmchain.init_state(cfg), blocks)
+        st2 = fmchain.init_state(cfg)
+        outs, nvs = [], []
+        for b in blocks:
+            st2, a, nv, _ = fmchain.fm_chain_step(cfg, st2, b)
+            outs.append(np.asarray(a))
+            nvs.append(int(nv))
+        np.testing.assert_array_equal(np.asarray(audio_s), np.stack(outs))
+        np.testing.assert_array_equal(np.asarray(nv_s), np.array(nvs))
+        for got, want in zip(jax.tree.leaves(st_scan), jax.tree.leaves(st2)):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    finally:
+        rs._ROWS_FORCE = old
+        fmchain.fm_chain_step.clear_cache()
+        scan_mod.scan_fm_blocks.clear_cache()
+
+
 def test_runner_end_to_end():
     cfg = _cfg()
     n = fmchain.block_samples(cfg, target=480)
