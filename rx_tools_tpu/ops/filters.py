@@ -173,7 +173,7 @@ def deemph_filter(avg, x, deemph_a: int, axis: int = 0):
     c = 1.0 - inv_a
     b = x * jnp.float32(inv_a)
     if x.ndim == 1:
-        if jax.default_backend() == "tpu":
+        if deemph_mxu_path():
             # one triangular MXU matmul instead of log2(block) whole-array
             # shifted-add passes: ~30x on the stage at bench geometry
             # (chipsuite14); CPU keeps the Hillis-Steele form (golden
@@ -189,6 +189,75 @@ def deemph_filter(avg, x, deemph_a: int, axis: int = 0):
                         ).astype(np.float32))
     y = s_in + avg[..., None] * cvec
     return y[..., -1], y
+
+
+# test hook: force the MXU scan form on any backend (deemph_filter's
+# dispatch is TPU-only; CPU bitwise tests of blocked consumers set this)
+_MXU_FORCE = False
+
+
+def deemph_mxu_path() -> bool:
+    """True when :func:`deemph_filter` on a flat stream would take the
+    triangular-MXU scan — callers that must stay BIT-identical to a
+    per-block loop of it (the scan engine's batched tail) gate on this."""
+    return _MXU_FORCE or jax.default_backend() == "tpu"
+
+
+def deemph_blocks(avg, x, deemph_a: int):
+    """``M`` sequential per-block :func:`deemph_filter` calls as ONE
+    program: ``x`` (M, K) -> ``(avg_end, y (M, K))``, BIT-identical to
+    the loop on the MXU path (gate on :func:`deemph_mxu_path`).
+
+    Same construction as ``ops.resample.resample_rows_blocks``: the
+    in-row triangular dots of every block run as one batched dot, the
+    per-block row-end scans run batched along the row axis, and only the
+    cross-block average chain — M scalar affine steps, each replaying the
+    exact f32 operation order the per-block call uses for its final
+    element — is sequential.
+    """
+    inv_a = float(1.0 / deemph_a)
+    c = 1.0 - inv_a
+    b = x * jnp.float32(inv_a)
+    mblk, k = b.shape
+    lanes = 128
+    r = -(-k // lanes)
+    pad = r * lanes - k
+    bp = jnp.pad(b, ((0, 0), (0, pad))).reshape(mblk * r, lanes)
+    u = jnp.asarray(_scan_matrix(lanes, float(c)))
+    s_in = jax.lax.dot_general(bp, u, (((1,), (0,)), ((), ())),
+                               precision=_HI)            # (M*R, lanes)
+    cl = float(c) ** lanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, s_in.shape, 1)
+    ends = jnp.sum(jnp.where(lane == lanes - 1, s_in, 0.0),
+                   axis=1).reshape(mblk, r)              # (M, R)
+    ends_scan = _iir_row_scan(ends, cl)                  # per-block (M, R)
+    decay = jnp.asarray((np.float64(cl) ** np.arange(r)).astype(np.float32))
+    cvec = jnp.asarray((np.float64(c) ** np.arange(1, lanes + 1)
+                        ).astype(np.float32))
+    # cross-block average chain: avg_i = y_i[-1], replayed exactly as the
+    # per-block call computes that element (car[last] = base + cl^last*avg;
+    # y_end = s_in[last] + car[last]*cvec[last]); K % lanes == 0 keeps the
+    # last element on the last row (callers' block sizes guarantee it)
+    last_row = (k - 1) // lanes
+    last_lane = (k - 1) % lanes
+    s_last = jnp.sum(jnp.where(
+        (lane == last_lane)
+        & (jax.lax.broadcasted_iota(jnp.int32, s_in.shape, 0) % r
+           == last_row), s_in, 0.0), axis=1).reshape(mblk, r).sum(axis=1)
+    base_last = (jnp.concatenate(
+        [jnp.zeros((mblk, 1), b.dtype), ends_scan[:, :-1]], axis=1)
+        [:, last_row])                                   # (M,)
+    avgs = [avg]
+    for i in range(mblk):
+        car_last = base_last[i] + np.float32(cl ** last_row) * avgs[i]
+        avgs.append(s_last[i] + car_last * cvec[last_lane])
+    avg_vec = jnp.stack(avgs[:-1])                       # (M,) at starts
+    car = (jnp.concatenate(
+        [jnp.zeros((mblk, 1), b.dtype), ends_scan[:, :-1]], axis=1)
+        + decay[None, :] * avg_vec[:, None])             # (M, R)
+    y = (s_in.reshape(mblk, r, lanes)
+         + car[:, :, None] * cvec[None, None, :]).reshape(mblk, -1)[:, :k]
+    return avgs[-1], y
 
 
 def dc_block_audio(dc_avg, x, block_const: int = 9):

@@ -130,61 +130,86 @@ def _scan_batched_front(cfg, state, blocks):
     # rows formulation, the whole per-block resampler sequence runs as
     # ONE batched program instead (ops.resample.resample_rows_blocks),
     # BIT-identical to the loop by construction (unit-pinned).
+    from rx_tools_tpu.ops import filters as _filters
     from rx_tools_tpu.ops.resample import (resample_rows_blocks,
                                            rows_path_eligible)
     k2 = kpb // max(cfg.post_downsample, 1)
     batched_rs = (cfg.mode != "raw" and cfg.rate_out2 > 0
                   and cfg.resample_quality == 0
                   and rows_path_eligible(k2, cfg.rate_out, cfg.rate_out2))
+    batched_deemph = (batched_rs and cfg.deemph_a
+                      and _filters.deemph_mxu_path())
+    # per-block levels as ONE pair of row reductions (the per-row reduce
+    # over a contiguous (M, K) row is the same-association reduction the
+    # per-block slice call lowers to — the bit-identity battery pins it)
+    lv = _rms_level_rows(zi.reshape(m, kpb), zq.reshape(m, kpb))
 
-    audio, n_valid, levels = [], [], []
+    audio, n_valid = [], []
     st = state
     deemph_avg, dc_avg = state.deemph_avg, state.dc_avg
     for i in range(m):
-        zib = jax.lax.slice(zi, (i * kpb,), ((i + 1) * kpb,))
-        zqb = jax.lax.slice(zq, (i * kpb,), ((i + 1) * kpb,))
-        level = ops.rms_level_planar(zib, zqb)
+        level = lv[i]
         if cfg.mode == "raw":
             # raw leaves the whole carried state untouched on this path
             # (no discriminator seam, no IIR tail — rtl_fm.c:658-665)
             a = jax.lax.slice(d, (2 * i * kpb,), (2 * (i + 1) * kpb,))
             audio.append(a)
             n_valid.append(jnp.int32(a.shape[0]))
-            levels.append(level)
             continue
         if d is None:                 # fm + std atan2: per-block disc
+            zib = jax.lax.slice(zi, (i * kpb,), ((i + 1) * kpb,))
+            zqb = jax.lax.slice(zq, (i * kpb,), ((i + 1) * kpb,))
             prev_iq, a = ops.fm_discriminate_planar(prev_iq, zib, zqb,
                                                     cfg.custom_atan)
         else:
             a = jax.lax.slice(d, (i * kpb,), ((i + 1) * kpb,))
         if batched_rs:
-            # replicate _fm_post's per-block stages up to the resampler
+            # replicate _fm_post's per-block stages up to the resampler;
+            # deemph joins the batched program below when on the MXU path
             if cfg.post_downsample > 1:
                 a = ops.low_pass_simple(a, cfg.post_downsample)
-            if cfg.deemph_a:
+            if cfg.deemph_a and not batched_deemph:
                 deemph_avg, a = ops.deemph_filter(deemph_avg, a,
                                                   cfg.deemph_a)
-            if cfg.dc_block_audio:
-                dc_avg, a = ops.dc_block_audio(dc_avg, a)
             audio.append(a)
-            levels.append(level)
             continue
         st, a_out, nv, _ = fmchain._fm_post(
             cfg, st, a, level, prev_iq, st.dc_iq, st.fifth, st.droop,
             st.boxcar, st.polyfir, st.squelch_hits)
         audio.append(a_out)
         n_valid.append(nv)
-        levels.append(level)
     if batched_rs:
+        a2 = jnp.stack(audio)                       # (M, K2)
+        if batched_deemph:
+            deemph_avg, a2 = _filters.deemph_blocks(deemph_avg, a2,
+                                                    cfg.deemph_a)
+        if cfg.dc_block_audio:
+            rows = []
+            for i in range(m):
+                dc_avg, row = ops.dc_block_audio(dc_avg, a2[i])
+                rows.append(row)
+            a2 = jnp.stack(rows)
         resamp, y, nv = resample_rows_blocks(
-            st.resamp, jnp.stack(audio), cfg.rate_out, cfg.rate_out2)
+            st.resamp, a2, cfg.rate_out, cfg.rate_out2)
         st = fmchain.FmState(
             dc_iq=st.dc_iq, boxcar=st.boxcar, fifth=st.fifth,
             droop=st.droop, prev_iq=prev_iq, deemph_avg=deemph_avg,
             dc_avg=dc_avg, resamp=resamp, squelch_hits=st.squelch_hits,
             polyfir=st.polyfir, sincresamp=st.sincresamp)
-        return st, y, nv, jnp.stack(levels)
-    return (st, jnp.stack(audio), jnp.stack(n_valid), jnp.stack(levels))
+        return st, y, nv, lv
+    return (st, jnp.stack(audio), jnp.stack(n_valid), lv)
+
+
+def _rms_level_rows(zib, zqb):
+    """Per-block squelch RMS over a (M, K) row stack — the exact per-row
+    operation sequence of ``ops.rms_level_planar`` on each block slice
+    (``rms``, rtl_fm.c:739-757), as one batched pass."""
+    n = 2 * zib.shape[1]
+    t = jnp.sum(zib, axis=1) + jnp.sum(zqb, axis=1)
+    p = jnp.sum(zib * zib, axis=1) + jnp.sum(zqb * zqb, axis=1)
+    dc = t / n
+    err = t * 2 * dc - dc * dc * n
+    return jnp.sqrt(jnp.maximum(p - err, 0.0) / n)
 
 
 def gather_valid(audio: np.ndarray, n_valid: np.ndarray) -> np.ndarray:

@@ -257,3 +257,30 @@ def test_resample_divisible():
     x = jnp.arange(20.0)
     y = resample_divisible(x, 160000, 32000)
     np.testing.assert_allclose(np.asarray(y), np.arange(20).reshape(4, 5).mean(1))
+
+
+def test_deemph_blocks_bitwise_equals_sequential():
+    """Round-5: ops.filters.deemph_blocks == M sequential deemph_filter
+    calls BIT-for-bit on the MXU scan path (forced on CPU via the test
+    hook) — the scan engine's batched tail depends on this identity."""
+    from rx_tools_tpu.ops import filters as fl
+    import jax.numpy as jnp
+    rng = np.random.default_rng(23)
+    old = fl._MXU_FORCE
+    fl._MXU_FORCE = True
+    try:
+        for m, k, a in ((5, 1536, 7), (3, 1280, 46), (4, 1000, 7)):
+            x = rng.normal(0, 9000, (m, k)).astype(np.float32)
+            avg0 = jnp.float32(rng.normal() * 50)
+            avg_s = avg0
+            ys = []
+            for i in range(m):
+                avg_s, y = fl.deemph_filter(avg_s, jnp.asarray(x[i]), a)
+                ys.append(np.asarray(y))
+            avg_b, yb = fl.deemph_blocks(avg0, jnp.asarray(x), a)
+            np.testing.assert_array_equal(np.stack(ys), np.asarray(yb),
+                                          err_msg=f"m={m} k={k} a={a}")
+            np.testing.assert_array_equal(np.asarray(avg_s),
+                                          np.asarray(avg_b))
+    finally:
+        fl._MXU_FORCE = old

@@ -88,6 +88,7 @@ def test_scan_engine_bit_identical_rows_path():
     (ops.resample.resample_rows_blocks) must still be bit-identical to
     per-block stepping, state pytree included."""
     from rx_tools_tpu.ops import resample as rs
+    from rx_tools_tpu.ops import filters as fl
     import jax
     cfg = fmchain.FmConfig(mode="fm", rate_in=171428, rate_out=171428,
                            rate_out2=32000, downsample=14, custom_atan=1,
@@ -98,7 +99,9 @@ def test_scan_engine_bit_identical_rows_path():
     blocks = np.stack([rng.integers(-2000, 2000, 2 * n).astype(np.int16)
                        for _ in range(5)])
     old = rs._ROWS_FORCE
+    oldm = fl._MXU_FORCE
     rs._ROWS_FORCE = True
+    fl._MXU_FORCE = True      # batched deemph path joins the identity too
     fmchain.fm_chain_step.clear_cache()
     scan_mod.scan_fm_blocks.clear_cache()
     try:
@@ -116,6 +119,7 @@ def test_scan_engine_bit_identical_rows_path():
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     finally:
         rs._ROWS_FORCE = old
+        fl._MXU_FORCE = oldm
         fmchain.fm_chain_step.clear_cache()
         scan_mod.scan_fm_blocks.clear_cache()
 
