@@ -197,33 +197,31 @@ def time_sharded_fm(cfg: fmchain.FmConfig, sharded_blocks, *, mesh: Mesh,
 
         # the carry differs per device from step 1 on: mark it varying
         st = jax.tree.map(_varying, st)
-        # Traced Python loops with static block indices, not lax.scan:
-        # rolled-scan dynamic-slices cost ~1.6 ms per MB-sized block read on
-        # TPU (see stream/scan.py, docs/PERF.md "the dynamic-slice cliff").
-        # warm-up replay (restores FIR/discriminator/squelch state exactly;
-        # on the exact path its front audio also feeds the resampler-acc
-        # recovery below)
-        halo_audio = []
-        for i in range(halo.shape[0]):
-            st, a, _, _ = fmchain.fm_chain_step_impl(cfg_front, st, halo[i])
-            halo_audio.append(a)
+        # Per-shard blocks run through the scan engine's batched-front
+        # implementation (round-5; stream/scan.py — chunk-wide capture
+        # front, batched tail, bit-identical per-block semantics); its
+        # legacy traced loop covers stateful-front configs.
+        # Warm-up replay first (restores FIR/discriminator/squelch state
+        # exactly; on the exact path its front audio also feeds the
+        # resampler-acc recovery below).
+        from rx_tools_tpu.stream.scan import scan_fm_blocks_impl
+        st, halo_a, _, _ = scan_fm_blocks_impl(cfg_front, st, halo)
         if not cont:
             # shard 0 replayed zeros; reset its IIR/seam state back to init
             fresh = fmchain.init_state(cfg_front)
             st = jax.tree.map(
                 lambda warmed, fr: jnp.where(idx == 0, fr, warmed), st, fresh)
-        audio, n_valid = [], []
-        for i in range(blocks.shape[0]):
-            st, a, nv, _ = fmchain.fm_chain_step_impl(cfg_front, st, blocks[i])
-            audio.append(a)
-            n_valid.append(nv)
+        st, audio_s, n_valid_s, _ = scan_fm_blocks_impl(cfg_front, st,
+                                                        blocks)
         if not exact:
-            return (jnp.stack(audio)[None], jnp.stack(n_valid)[None],
+            return (audio_s[None], n_valid_s[None],
                     jnp.zeros((1, 3), jnp.float32))
 
         # --- exact linear tail: deemph + audio DC + rational resampler ----
-        x = jnp.concatenate(audio)                     # (L,) own front audio
-        xh = jnp.concatenate(halo_audio)               # (Lh,) halo's
+        # (cfg_front has no resampler, so every block's audio is full:
+        # the stacks flatten to the contiguous front-audio streams)
+        x = audio_s.reshape(-1)                        # (L,) own front audio
+        xh = halo_a.reshape(-1)                        # (Lh,) halo's
         l_own = m * apb
         l_part = (m - warmup) * apb
         m_part = m - warmup

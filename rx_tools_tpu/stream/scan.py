@@ -56,8 +56,8 @@ def _batched_front_ok(cfg: fmchain.FmConfig, k_per_block: int) -> bool:
             and not fused_frontend.fused_eligible(cfg, k_per_block))
 
 
-@partial(jax.jit, static_argnums=0)
-def scan_fm_blocks(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
+def scan_fm_blocks_impl(cfg: fmchain.FmConfig, state: fmchain.FmState,
+                        blocks):
     """Run the FM chain over ``blocks`` (M, 2N) int16 in one compiled
     program.  Returns ``(state, audio (M, cap), n_valid (M,), levels (M,))``
     — bit-identical to stepping ``fm_chain_step`` per block.
@@ -80,6 +80,9 @@ def scan_fm_blocks(cfg: fmchain.FmConfig, state: fmchain.FmState, blocks):
         n_valid.append(nv)
         levels.append(lv)
     return (state, jnp.stack(audio), jnp.stack(n_valid), jnp.stack(levels))
+
+
+scan_fm_blocks = partial(jax.jit, static_argnums=0)(scan_fm_blocks_impl)
 
 
 def _scan_batched_front(cfg, state, blocks):
