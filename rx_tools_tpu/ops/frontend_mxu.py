@@ -197,6 +197,33 @@ def capture_frontend_mm_i16(block_i16, downsample: int, rotate: bool = True,
     return outf[:, :p].reshape(-1), outf[:, p:].reshape(-1)
 
 
+def capture_frontend_mm_i16_2(block_i16, downsample: int,
+                              rotate: bool = True, p: int | None = None):
+    """Two-dot twin of :func:`capture_frontend_mm_i16`: separate Re and
+    Im mask matrices, so each dot's (rows, P) output reshapes row-major
+    to the planar stream with NO column-block slice (the single-dot form
+    pays two (rows, P)-of-(rows, 2P) slice relayouts).  Costs a second
+    read of the raw int16 operand (2 B/sample) — the A/B decides
+    (tools/chipsuite26.py)."""
+    d = int(downsample)
+    k = block_i16.shape[0] // (2 * d)
+    if p is None:
+        p = _pick_p(k, d, rotate)
+    if p == 1:
+        from rx_tools_tpu.ops.pallas_frontend import capture_frontend_planar
+        return capture_frontend_planar(block_i16, downsample, rotate)
+    g = block_i16.reshape(k // p, p * 2 * d)
+    m = _fs4_decim_matrix(d, p, bool(rotate)).astype(np.int16)
+    mi, mq = jnp.asarray(m[:, :p]), jnp.asarray(m[:, p:])
+    dims = (((1,), (0,)), ((), ()))
+    zi = jax.lax.dot_general(g, mi, dims,
+                             preferred_element_type=jnp.int32)
+    zq = jax.lax.dot_general(g, mq, dims,
+                             preferred_element_type=jnp.int32)
+    return (zi.astype(jnp.float32).reshape(-1) * _SCALE,
+            zq.astype(jnp.float32).reshape(-1) * _SCALE)
+
+
 def capture_frontend_mm_bf16(block_i16, downsample: int, rotate: bool = True,
                              p: int | None = None):
     """``(2N,) int16 -> ((K,), (K,)) float32`` planar, bf16-intermediate dot.

@@ -196,3 +196,15 @@ def test_mm_bf16_probe_shape_and_class():
     err = np.abs(np.asarray(zi1) - np.asarray(zi0))
     ref = np.abs(np.asarray(zi0)) + 1.0
     assert np.max(err / ref) < 0.05        # bf16 class, not garbage
+
+
+def test_mm_i16_two_dot_matches_single():
+    """The two-dot i16 twin must equal the single-dot form exactly
+    (identical integer sums, same scale)."""
+    rng = np.random.default_rng(37)
+    d = 14
+    blk = rng.integers(-32768, 32767, 2 * d * 32 * 24).astype(np.int16)
+    zi0, zq0 = frontend_mxu.capture_frontend_mm_i16(blk, d, True)
+    zi1, zq1 = frontend_mxu.capture_frontend_mm_i16_2(blk, d, True)
+    np.testing.assert_array_equal(np.asarray(zi0), np.asarray(zi1))
+    np.testing.assert_array_equal(np.asarray(zq0), np.asarray(zq1))
