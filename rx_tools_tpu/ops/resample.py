@@ -453,8 +453,6 @@ def resample_rational(state: ResampleState, x, fast: int, slow: int):
     j = jnp.arange(1, n + 1)
     c = state.phase + j * slow
     crossings = c // fast                                # how many emits so far
-    prev_crossings = jnp.concatenate([jnp.zeros(1, crossings.dtype), crossings[:-1]])
-    emits = crossings > prev_crossings                   # sample j completes a window
     csum = _csum_flat(x)
     # k-th emission happens at the j where crossings first reaches k+1
     k = jnp.arange(cap)

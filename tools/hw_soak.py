@@ -151,7 +151,6 @@ def compare_with_reference(args, q: str, tmp: str) -> bool:
             log("FAIL: audio level differs from the C binary by > 6 dB")
             ok = False
     rcsv = os.path.join(tmp, "ref.csv")
-    lo, hi = args.band.split(":")[:2]
     subprocess.run([ref_power, "-f", args.band, "-1", "-d", q, rcsv],
                    timeout=300)
     a = np.array([float(v) for l in open(os.path.join(tmp, "power.csv"))
