@@ -222,40 +222,67 @@ def main(argv=None) -> int:
     rc = 0
     pend = np.empty(0, np.int16)      # partial-block accumulator
     eof = False
+    # chunked dispatch (time-major engine): up to CHUNK full blocks go to
+    # the device in ONE dispatch (models/pfb.pfb_scan_blocks_tmaj) — the
+    # per-block host->device round trip (~26 ms on a tunneled TPU) is the
+    # CLI's real throughput ceiling, exactly the dispatch-amortization
+    # story of stream/chunked.py; bit-identical to per-block dispatch
+    chunk_cap = (int(os.environ.get("RX_CHANNELS_CHUNK", "8"))
+                 if tmaj_layout else 1)
+
+    def _emit(audio, n_valid, valid):
+        if tmaj_layout:
+            # time-major engine: audio is (cap, C) with one shared valid
+            # count — transpose is a free numpy view
+            audio = np.asarray(audio).T
+            n_valid = np.full(audio.shape[0], int(n_valid))
+        frac = valid / block_size
+        for i, fh in enumerate(files):
+            keep = int(round(int(n_valid[i]) * frac))
+            fh.write(fmchain.audio_to_int16(audio[i, :keep]).tobytes())
+
     try:
         while not do_exit[0] and not eof:
-            # accumulate partial reads until a full block (a short read is
-            # a stall or tail, not EOF — only n == 0 ends the stream)
-            while pend.size < 2 * block_size:
-                n, buf = src.read_stream(block_size - pend.size // 2)
-                if n == 0:
-                    eof = True
+            fulls, valids = [], []
+            while len(fulls) < chunk_cap and not do_exit[0]:
+                # accumulate partial reads until a full block (a short
+                # read is a stall or tail, not EOF — only n == 0 ends)
+                while pend.size < 2 * block_size:
+                    n, buf = src.read_stream(block_size - pend.size // 2)
+                    if n == 0:
+                        eof = True
+                        break
+                    if n < 0:
+                        sys.stderr.write("O")
+                        sys.stderr.flush()
+                        continue
+                    pend = np.concatenate([pend, buf[: 2 * n]])
+                    read_total += n
+                valid = pend.size // 2
+                if valid == 0:
                     break
-                if n < 0:
-                    sys.stderr.write("O")
-                    sys.stderr.flush()
-                    continue
-                pend = np.concatenate([pend, buf[: 2 * n]])
-                read_total += n
-            valid = pend.size // 2
-            if valid == 0:
+                if valid < block_size:        # EOF tail: zero-pad + trim
+                    pend = np.concatenate(
+                        [pend,
+                         np.zeros(2 * (block_size - valid), np.int16)])
+                fulls.append(pend[: 2 * block_size])
+                valids.append(valid)
+                pend = np.empty(0, np.int16)
+                if eof or (exit_s and read_total >= exit_s * rate):
+                    break
+            if not fulls:
                 break
-            if valid < block_size:            # EOF tail: zero-pad + trim
-                pend = np.concatenate(
-                    [pend, np.zeros(2 * (block_size - valid), np.int16)])
-            state, audio, n_valid = step(cfg, state, pend[: 2 * block_size])
-            audio, n_valid = jax.device_get((audio, n_valid))
-            if tmaj_layout:
-                # time-major engine: audio is (cap, C) with one shared
-                # valid count — transpose is a free numpy view
-                audio = np.asarray(audio).T
-                n_valid = np.full(audio.shape[0], int(n_valid))
-            frac = valid / block_size
-            for i, fh in enumerate(files):
-                keep = int(round(int(n_valid[i]) * frac))
-                pcm = fmchain.audio_to_int16(audio[i, :keep])
-                fh.write(pcm.tobytes())
-            pend = np.empty(0, np.int16)
+            if tmaj_layout and len(fulls) > 1:
+                state, audio_b, nv_b = pfb.pfb_scan_blocks_tmaj(
+                    cfg, state, np.stack(fulls))
+                audio_b, nv_b = jax.device_get((audio_b, nv_b))
+                for j, valid in enumerate(valids):
+                    _emit(audio_b[j], nv_b[j], valid)
+            else:
+                for j, valid in enumerate(valids):
+                    state, audio, n_valid = step(cfg, state, fulls[j])
+                    audio, n_valid = jax.device_get((audio, n_valid))
+                    _emit(audio, n_valid, valid)
             if exit_s and read_total >= exit_s * rate:
                 break
     finally:

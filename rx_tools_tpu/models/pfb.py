@@ -442,6 +442,25 @@ def _resample_tmaj(state: ResampleState, x, fast: int, slow: int):
 
 
 @partial(jax.jit, static_argnums=0)
+def pfb_scan_blocks_tmaj(cfg: PfbConfig, state: PfbStateTM, blocks):
+    """``B`` chained :func:`pfb_step_tmaj` calls in ONE program:
+    ``blocks`` (B, 2N) -> ``(state, audio (B, cap, D), n_valid (B,))``.
+
+    The CLI's per-block dispatch pays one host->device round trip per
+    block (~26 ms over a tunneled TPU — orders of magnitude above the
+    step's compute); chunked dispatch amortizes it 1/B exactly like the
+    FM chain's ChunkedFmRunner (stream/chunked.py).  A traced Python
+    loop with static ``blocks[i]`` indexing (the dynamic-slice cliff,
+    docs/PERF.md), bit-identical to B separate dispatches."""
+    audio, nv = [], []
+    for i in range(blocks.shape[0]):
+        state, a, v = pfb_step_tmaj(cfg, state, blocks[i])
+        audio.append(a)
+        nv.append(v)
+    return state, jnp.stack(audio), jnp.stack(nv)
+
+
+@partial(jax.jit, static_argnums=0)
 def pfb_step(cfg: PfbConfig, state: PfbState, block):
     """One wideband block -> D channels, demodulated.
 

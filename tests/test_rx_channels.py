@@ -147,3 +147,23 @@ def test_pfb_tmaj_cli_default_and_escape(tmp_path, monkeypatch):
         y = np.fromfile(b, np.int16).astype(np.float64)
         assert x.size == y.size > 1000, a.name
         assert np.max(np.abs(x - y)) <= 2.0, a.name   # association-class
+
+
+def test_chunked_dispatch_identical_to_per_block(tmp_path, monkeypatch):
+    """Round-5: the time-major engine's chunked multi-block dispatch
+    (pfb_scan_blocks_tmaj) must produce byte-identical channel files to
+    per-block dispatch (chunk cap forced to 1)."""
+    args = ["-f", "100M", "-s", "1024k", "-n", "16", "-M", "fm",
+            "-A", "fast", "-c", "us", "-r", "32k", "-e", "1.2",
+            "-b", "65536",
+            "-d", "synth=fm,det=1,seed=5,carrier=100.192M,audio=1k,"
+                  "dev=15k,amp=0.8"]
+    out_c, out_p = tmp_path / "chunked", tmp_path / "perblk"
+    assert rx_channels.main(args + [str(out_c)]) == 0
+    monkeypatch.setenv("RX_CHANNELS_CHUNK", "1")   # per-block dispatch
+    assert rx_channels.main(args + [str(out_p)]) == 0
+    fc = sorted(out_c.glob("ch*.s16"))
+    fp = sorted(out_p.glob("ch*.s16"))
+    assert len(fc) == len(fp) == 16
+    for a, b in zip(fc, fp):
+        assert a.read_bytes() == b.read_bytes(), a.name
