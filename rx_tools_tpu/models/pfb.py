@@ -382,7 +382,17 @@ def pfb_step_tmaj(cfg: PfbConfig, state: PfbStateTM, block):
 
     racc, rphase = state.resamp.acc, state.resamp.phase
     if cfg.rate_out2 > 0:
-        st_r, audio, nv = _resample_tmaj(
+        import math as _m
+        _g = _m.gcd(int(cfg.channel_rate), int(cfg.rate_out2))
+        _fr = cfg.channel_rate // _g
+        # the periodic-mask resampler (one MXU contraction, no prefix
+        # sums/gathers) applies when the reduced frame is small — the
+        # round-5c ablation put the csum-based tail at ~2/3 of the step
+        _e = _fr // (cfg.rate_out2 // _g) + 2
+        rs_fn = (_resample_tmaj_periodic
+                 if _fr + _e <= 512 and _e <= _fr
+                 else _resample_tmaj)
+        st_r, audio, nv = rs_fn(
             ResampleState(racc, rphase), dd,
             cfg.channel_rate, cfg.rate_out2)
         racc, rphase = st_r.acc, st_r.phase
@@ -391,6 +401,73 @@ def pfb_step_tmaj(cfg: PfbConfig, state: PfbStateTM, block):
 
     return (PfbStateTM(tailx, davg, ResampleState(racc, rphase)),
             audio, nv)
+
+
+def _resample_tmaj_periodic(state: ResampleState, x, fast: int, slow: int):
+    """Time-major batched resampler via the EXACT emission periodicity:
+    ``pos(k + slow) == pos(k) + fast``, so every ``fast``-input frame
+    emits exactly ``slow`` outputs with the same intra-frame window
+    pattern (shifted by the carried phase).  The whole resampler is then
+    ONE (fast+E, slow) phase-dependent 0/1 mask contracted against
+    extended input frames on the MXU — no prefix sums, no gathers, no
+    concats at rate (round-5c; viable when the reduced ``fast`` is small,
+    e.g. the PFB's 75/64 channel->audio ratio; the flat chain's 42857/8000
+    stays on :func:`_resample_tmaj`).
+
+    ``x`` (M, D) -> ``(state, y (cap, D), n_valid ())``; same emission
+    grid, divisor and carried state as ``_resample_tmaj`` (window sums
+    associate differently — dot vs csum-difference — inside f32 noise).
+    """
+    import math as _m
+    g = _m.gcd(int(fast), int(slow))
+    fast, slow = int(fast) // g, int(slow) // g
+    m, d = x.shape
+    cap = m * slow // fast + 2
+    divisor = jnp.float32(1.0 / (fast // slow))
+    w_max = fast // slow + 1
+    e = w_max + 1                          # lookback rows per frame
+    assert e <= fast, (fast, slow)         # frame build needs one-frame look
+    phase0 = state.phase[0].astype(jnp.int32)
+    total = (phase0 + m * slow) // fast
+
+    g_frames = -(-(m + 1) // fast) + 1     # cover cap outputs incl. edges
+    pad_rows = g_frames * fast - m
+    xp = jnp.concatenate(
+        [jnp.zeros((e, d), x.dtype), x,
+         jnp.zeros((pad_rows, d), x.dtype)], axis=0)   # (E + G*fast, D)
+    main = xp[e:].reshape(g_frames, fast, d)
+    look = xp[: g_frames * fast].reshape(g_frames, fast, d)[:, :e]
+    frames = jnp.concatenate([look, main], axis=1)     # (G, fast+E, D)
+
+    # window pattern for outputs j = 0..slow-1 of each frame (phase is
+    # traced; everything else static): input i_rel of frame g is global
+    # row g*fast + (i - E); output k = g*slow + j consumes
+    # (pos(j-1), pos(j)] shifted into the frame
+    j = jnp.arange(slow, dtype=jnp.int32)
+    posj = ((j + 1) * fast - phase0 + slow - 1) // slow - 1    # (slow,)
+    posjp = (j * fast - phase0 + slow - 1) // slow - 1
+    i_rel = jnp.arange(fast + e, dtype=jnp.int32)[:, None] - e  # (fast+E, 1)
+    s_mask = ((i_rel > posjp[None, :])
+              & (i_rel <= posj[None, :])).astype(x.dtype)  # (fast+E, slow)
+
+    yg = jax.lax.dot_general(frames, s_mask, (((1,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)
+    # (G, D, slow) -> time-major (G*slow, D)
+    y = jnp.transpose(yg, (0, 2, 1)).reshape(g_frames * slow, d)[:cap]
+    kk = jnp.arange(cap)
+    y = y + jnp.where(kk == 0, 1.0, 0.0)[:, None] * state.acc[None, :]
+    y = jnp.where((kk < total)[:, None], y * divisor, 0.0)
+
+    # carried state: leftover = sum of inputs after the last complete
+    # window (the trailing partial window pos(total-1)+1 .. m-1)
+    last_pos = jnp.clip((total * fast - phase0 + slow - 1) // slow - 1,
+                        -1, m - 1)
+    row_i = jnp.arange(m, dtype=jnp.int32)[:, None]
+    tail_mask = (row_i > last_pos).astype(x.dtype)
+    new_acc = jnp.sum(x * tail_mask, axis=0)
+    new_phase = jnp.full((d,), (phase0 + m * slow) % fast, jnp.int32)
+    return (ResampleState(new_acc.astype(jnp.float32), new_phase),
+            y, total.astype(jnp.int32))
 
 
 def _resample_tmaj(state: ResampleState, x, fast: int, slow: int):

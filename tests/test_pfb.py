@@ -193,3 +193,29 @@ def test_tmaj_raw_packing():
                                rtol=1e-5, atol=1e-3)
     np.testing.assert_allclose(a_tm[:, D:].T, a_cm[..., 1],
                                rtol=1e-5, atol=1e-3)
+
+
+def test_resample_tmaj_periodic_matches_general():
+    """The periodic-mask time-major resampler == the csum-based one
+    (same emission grid, valid counts and carried state; window sums
+    reassociate within f32 noise) while streaming."""
+    from rx_tools_tpu.ops.resample import ResampleState
+    rng = np.random.default_rng(41)
+    for fast, slow in ((37500, 32000), (48000, 32000), (75000, 32000)):
+        d_ch = 16
+        st_a = ResampleState(jnp.zeros((d_ch,), jnp.float32),
+                             jnp.zeros((d_ch,), jnp.int32))
+        st_b = st_a
+        for blk in range(3):
+            x = jnp.asarray(rng.normal(0, 5000, (1024, d_ch))
+                            .astype(np.float32))
+            st_a, ya, nva = pfb._resample_tmaj(st_a, x, fast, slow)
+            st_b, yb, nvb = pfb._resample_tmaj_periodic(st_b, x, fast, slow)
+            assert int(nva) == int(nvb), (fast, slow, blk)
+            np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                       rtol=1e-4, atol=0.5,
+                                       err_msg=f"{fast}/{slow} blk {blk}")
+            np.testing.assert_allclose(np.asarray(st_a.acc),
+                                       np.asarray(st_b.acc),
+                                       rtol=1e-4, atol=0.5)
+            assert int(st_a.phase[0]) == int(st_b.phase[0])
