@@ -459,12 +459,15 @@ def _resample_tmaj_periodic(state: ResampleState, x, fast: int, slow: int):
     y = jnp.where((kk < total)[:, None], y * divisor, 0.0)
 
     # carried state: leftover = sum of inputs after the last complete
-    # window (the trailing partial window pos(total-1)+1 .. m-1)
+    # window (the trailing partial window pos(total-1)+1 .. m-1 — at most
+    # w_max rows, so only the last frame's rows need reading)
+    tail_rows = min(fast + e, m)
     last_pos = jnp.clip((total * fast - phase0 + slow - 1) // slow - 1,
                         -1, m - 1)
-    row_i = jnp.arange(m, dtype=jnp.int32)[:, None]
-    tail_mask = (row_i > last_pos).astype(x.dtype)
-    new_acc = jnp.sum(x * tail_mask, axis=0)
+    xt = x[m - tail_rows:]
+    row_i = (jnp.arange(tail_rows, dtype=jnp.int32)[:, None]
+             + (m - tail_rows))
+    new_acc = jnp.sum(xt * (row_i > last_pos).astype(x.dtype), axis=0)
     new_phase = jnp.full((d,), (phase0 + m * slow) % fast, jnp.int32)
     return (ResampleState(new_acc.astype(jnp.float32), new_phase),
             y, total.astype(jnp.int32))
