@@ -82,17 +82,19 @@ def test_scan_engine_bit_identical_to_stepping(kw):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_scan_engine_bit_identical_rows_path():
+@pytest.mark.parametrize("kw", [dict(), dict(dc_block_audio=True)])
+def test_scan_engine_bit_identical_rows_path(kw):
     """The TPU rows-resampler path (forced on CPU via the test hook):
     the scan engine's BATCHED per-block resampler
     (ops.resample.resample_rows_blocks) must still be bit-identical to
-    per-block stepping, state pytree included."""
+    per-block stepping, state pytree included (incl. the -E dc loop
+    inside the batched tail)."""
     from rx_tools_tpu.ops import resample as rs
     from rx_tools_tpu.ops import filters as fl
     import jax
     cfg = fmchain.FmConfig(mode="fm", rate_in=171428, rate_out=171428,
                            rate_out2=32000, downsample=14, custom_atan=1,
-                           deemph_a=7, squelch_level=0.0)
+                           deemph_a=7, squelch_level=0.0, **kw)
     n = fmchain.block_samples(cfg, target=14 * 1536)
     assert (n // 14) % 128 == 0
     rng = np.random.default_rng(4)
