@@ -137,8 +137,13 @@ def _scan_batched_front(cfg, state, blocks):
     from rx_tools_tpu.ops.resample import (resample_rows_blocks,
                                            rows_path_eligible)
     k2 = kpb // max(cfg.post_downsample, 1)
+    # -E dc stays on the per-block tail: its block-mean reduce is fused
+    # differently inside the batched program and XLA's reduce tiling is
+    # not association-stable across program contexts (measured last-ulp
+    # drift) — the bitwise contract wins over the rare config's speed
     batched_rs = (cfg.mode != "raw" and cfg.rate_out2 > 0
                   and cfg.resample_quality == 0
+                  and not cfg.dc_block_audio
                   and rows_path_eligible(k2, cfg.rate_out, cfg.rate_out2))
     batched_deemph = (batched_rs and cfg.deemph_a
                       and _filters.deemph_mxu_path())
@@ -186,12 +191,6 @@ def _scan_batched_front(cfg, state, blocks):
         if batched_deemph:
             deemph_avg, a2 = _filters.deemph_blocks(deemph_avg, a2,
                                                     cfg.deemph_a)
-        if cfg.dc_block_audio:
-            rows = []
-            for i in range(m):
-                dc_avg, row = ops.dc_block_audio(dc_avg, a2[i])
-                rows.append(row)
-            a2 = jnp.stack(rows)
         resamp, y, nv = resample_rows_blocks(
             st.resamp, a2, cfg.rate_out, cfg.rate_out2)
         st = fmchain.FmState(

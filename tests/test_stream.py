@@ -87,8 +87,9 @@ def test_scan_engine_bit_identical_rows_path(kw):
     """The TPU rows-resampler path (forced on CPU via the test hook):
     the scan engine's BATCHED per-block resampler
     (ops.resample.resample_rows_blocks) must still be bit-identical to
-    per-block stepping, state pytree included (incl. the -E dc loop
-    inside the batched tail)."""
+    per-block stepping, state pytree included.  The -E dc case pins the
+    gate that keeps DC configs on the per-block tail (XLA's reduce tiling
+    is not association-stable across program contexts)."""
     from rx_tools_tpu.ops import resample as rs
     from rx_tools_tpu.ops import filters as fl
     import jax
