@@ -48,10 +48,20 @@ def _batched_front_ok(cfg: fmchain.FmConfig, k_per_block: int) -> bool:
     """The chunk-wide front requires a stateless capture path: boxcar
     decimation (no fifth-order history), no raw DC EMA, squelch off (the
     per-block zeroing feeds the discriminator), and not the opt-in fused
-    Pallas kernel (which fuses capture+disc per block by design)."""
+    Pallas kernel (which fuses capture+disc per block by design).
+
+    Bitwise note: the engine's bit-identity contract vs per-block
+    stepping holds for every stage EXCEPT the audio DC block's mean —
+    XLA's tiling of a plain full reduce is not association-stable across
+    program contexts (measured last-ulp drift at some block sizes, and
+    present even in the legacy multi-block loop), so ``-E dc`` configs
+    agree with per-block stepping to float rounding (~1e-7 relative,
+    occasionally +/-1 output LSB), not byte-for-byte.  All other configs
+    are byte-exact (tests/test_stream.py battery)."""
     from rx_tools_tpu.ops import fused_frontend
     return (cfg.downsample_passes == 0 and cfg.fir_quality <= 9
-            and not cfg.dc_block_raw and cfg.squelch_level == 0
+            and not cfg.dc_block_raw
+            and cfg.squelch_level == 0
             and cfg.mode in ("fm", "am", "usb", "lsb", "raw")
             and not fused_frontend.fused_eligible(cfg, k_per_block))
 
@@ -137,10 +147,6 @@ def _scan_batched_front(cfg, state, blocks):
     from rx_tools_tpu.ops.resample import (resample_rows_blocks,
                                            rows_path_eligible)
     k2 = kpb // max(cfg.post_downsample, 1)
-    # -E dc stays on the per-block tail: its block-mean reduce is fused
-    # differently inside the batched program and XLA's reduce tiling is
-    # not association-stable across program contexts (measured last-ulp
-    # drift) — the bitwise contract wins over the rare config's speed
     batched_rs = (cfg.mode != "raw" and cfg.rate_out2 > 0
                   and cfg.resample_quality == 0
                   and not cfg.dc_block_audio
