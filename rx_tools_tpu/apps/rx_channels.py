@@ -131,6 +131,7 @@ def main(argv=None) -> int:
     d = n_uniform if n_uniform else decim
     channel_rate = rate // d
     tmaj_layout = False
+    scan_step = None
     deemph_a = 0
     if mode == "fm" and deemph_arg != "off":
         tc_us = {"us": 75, "eu": 50}.get(deemph_arg)
@@ -178,6 +179,7 @@ def main(argv=None) -> int:
             # -t sharded path runs per shard)
             state = pfb.init_state_tmaj(cfg)
             step = pfb.pfb_step_tmaj
+            scan_step = pfb.pfb_scan_blocks_tmaj
             tmaj_layout = True
     else:
         offsets = tuple(f - freq for f in stations)
@@ -193,6 +195,16 @@ def main(argv=None) -> int:
         state = channelizer.init_state(cfg)
         step = channelizer.channelize_step
         block_size = channelizer.block_samples(cfg, target=block_target)
+        if (os.environ.get("RX_MIXER", "tmaj") == "tmaj"
+                and channelizer.tmaj_supported(cfg, block_size)):
+            # round-5: the time-major mixer folds the per-channel mix
+            # INTO the decimation window (one MXU dot, no capture-rate
+            # per-channel intermediate) with an exact integer NCO;
+            # RX_MIXER=cm restores the float-NCO channel-major engine
+            state = channelizer.init_state_tmaj(cfg)
+            step = channelizer.channelize_step_tmaj
+            scan_step = channelizer.channelize_scan_blocks_tmaj
+            tmaj_layout = True
 
     do_exit = [False]
     common.install_sigint(lambda *a: do_exit.__setitem__(0, True))
@@ -273,8 +285,8 @@ def main(argv=None) -> int:
             if not fulls:
                 break
             if tmaj_layout and len(fulls) > 1:
-                state, audio_b, nv_b = pfb.pfb_scan_blocks_tmaj(
-                    cfg, state, np.stack(fulls))
+                state, audio_b, nv_b = scan_step(cfg, state,
+                                                 np.stack(fulls))
                 audio_b, nv_b = jax.device_get((audio_b, nv_b))
                 for j, valid in enumerate(valids):
                     _emit(audio_b[j], nv_b[j], valid)

@@ -70,3 +70,83 @@ def test_block_seam_continuity():
     st2, c2, _ = channelizer.channelize_step(cfg, st2, jnp.asarray(iq[2 * n:]))
     split = np.concatenate([np.asarray(c1)[0], np.asarray(c2)[0]])
     np.testing.assert_allclose(split, np.asarray(a_full)[0], atol=2.0)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 time-major mixer (integer NCO + fold-the-mix-into-the-decimator)
+# ---------------------------------------------------------------------------
+
+def test_mixer_tmaj_matches_channel_major():
+    """channelize_step_tmaj == channelize_step (audio transposed) while
+    streaming: the mix+decimate dot and the exact integer NCO change
+    association/phase representation only."""
+    import jax.numpy as jnp
+    from rx_tools_tpu.models import channelizer as chan
+    fs, d = 1_024_000, 16
+    cfg = chan.ChannelizerConfig(
+        capture_rate=fs, offsets=(192_000.0, -64_000.0, 17_000.0),
+        downsample=d, mode="fm", custom_atan=1, deemph_a=7,
+        rate_out2=32_000)
+    n = chan.block_samples(cfg, target=32768)
+    assert chan.tmaj_supported(cfg, n)
+    rng = np.random.default_rng(3)
+    # structured scene (an FM carrier near each station + mild noise):
+    # the discriminator of near-zero NOISE vectors is chaotic, so raw
+    # random input would amplify the two engines' ~1e-6 mix differences
+    t_all = np.arange(3 * n)
+    z = np.zeros(3 * n, np.complex128)
+    for off in (192_000, -64_000, 17_000):
+        au = np.sin(2 * np.pi * (700 + off % 997) * t_all / fs)
+        ph = 2 * np.pi * off * t_all / fs + \
+            2 * np.pi * 12e3 * np.cumsum(au) / fs
+        z += 40 * np.exp(1j * ph)
+    z += rng.normal(0, 0.5, 3 * n) + 1j * rng.normal(0, 0.5, 3 * n)
+    iq_all = np.empty(2 * 3 * n, np.int16)
+    iq_all[0::2] = np.round(np.real(z) * 64)
+    iq_all[1::2] = np.round(np.imag(z) * 64)
+    st_cm = chan.init_state(cfg)
+    st_tm = chan.init_state_tmaj(cfg)
+    for b in range(3):
+        blk = iq_all[b * 2 * n: (b + 1) * 2 * n]
+        st_cm, a_cm, nv_cm = chan.channelize_step(cfg, st_cm,
+                                                  jnp.asarray(blk))
+        st_tm, a_tm, nv_tm = chan.channelize_step_tmaj(cfg, st_tm,
+                                                       jnp.asarray(blk))
+        assert int(nv_cm[0]) == int(nv_tm)
+        got = np.asarray(a_tm).T[:, : int(nv_tm)]
+        want = np.asarray(a_cm)[:, : int(nv_tm)]
+        scale = max(1.0, float(np.abs(want).max()))
+        np.testing.assert_allclose(got / scale, want / scale,
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=f"block {b}")
+
+
+def test_mixer_tmaj_recovers_fm_station():
+    """A station at +192 kHz demodulates to its 1 kHz tone through the
+    time-major mixer (3 chained blocks; exact NCO keeps phase across)."""
+    import jax.numpy as jnp
+    from rx_tools_tpu.models import channelizer as chan
+    fs, d, off = 1_024_000, 16, 192_000
+    cfg = chan.ChannelizerConfig(
+        capture_rate=fs, offsets=(float(off), -200_000.0),
+        downsample=d, mode="fm", custom_atan=0, deemph_a=0,
+        rate_out2=32_000)
+    n = chan.block_samples(cfg, target=65536)
+    t = np.arange(3 * n)
+    audio = np.sin(2 * np.pi * 1000 * t / fs)
+    phase = 2 * np.pi * off * t / fs + \
+        2 * np.pi * 15e3 * np.cumsum(audio) / fs
+    z = 90 * np.exp(1j * phase)
+    iq = np.empty(2 * 3 * n, np.int16)
+    iq[0::2] = np.round(np.real(z) * 256)
+    iq[1::2] = np.round(np.imag(z) * 256)
+    st = chan.init_state_tmaj(cfg)
+    outs = []
+    for b in range(3):
+        st, a, nv = chan.channelize_step_tmaj(
+            cfg, st, jnp.asarray(iq[b * 2 * n: (b + 1) * 2 * n]))
+        outs.append(np.asarray(a)[: int(nv), 0])
+    a = np.concatenate(outs)[500:]
+    spec = np.abs(np.fft.rfft((a - a.mean()) * np.hanning(a.size)))
+    pk = np.fft.rfftfreq(a.size, 1 / 32000)[np.argmax(spec[1:]) + 1]
+    assert abs(pk - 1000.0) < 20
