@@ -2,16 +2,17 @@
 
 The reference demodulates exactly one channel per process, per dongle; its
 own source notes the ambition for more ("multiple of these, eventually",
-``src/rtl_fm.c:189-193``).  On TPU the whole problem is one ``vmap``: a
-single wideband capture block is mixed down at ``C`` channel offsets at
-once (a ``(C, N)`` complex rotation — pure VPU), decimated per channel,
-and the demod tail (discriminator, de-emphasis, resampler) runs vectorized
-over the channel axis.  ``C`` FM receivers cost barely more than one,
-because the capture-rate work is shared and the per-channel work happens
-at 1/D the rate.
+``src/rtl_fm.c:189-193``).  Two engines, arbitrary station offsets:
 
-State: per-channel NCO phase plus a vmapped stack of the per-channel tail
-state — exactly :class:`fmchain.FmState` semantics, batched.
+- ``channelize_step`` (channel-major, float NCO): mixes a ``(C, N)``
+  per-channel rotation, decimates, runs the batched planar demod tail.
+- ``channelize_step_tmaj`` (round-5 default): the per-channel mix FOLDS
+  into the decimation window — ``e^{-jw(mD+j)} = e^{-jwmD} e^{-jwj}``
+  makes mix+decimate ONE ``(M, 2D) @ (2D, 2C)`` MXU dot against a static
+  window matrix plus an M-rate phasor whose phase numerators are exact
+  int32 arithmetic mod fs (no drift, ever); the time-major tail is the
+  PFB's (batched MXU deemph, periodic-mask resampler).  Measured 11.6x
+  the channel-major engine at C=64 (docs/PERF.md round-5c).
 
 This is a capability the reference cannot express; there is no
 file:line to cite for the core, only for the per-channel tail semantics
