@@ -132,6 +132,20 @@ def main(argv=None) -> int:
     channel_rate = rate // d
     tmaj_layout = False
     scan_step = None
+
+    # --- multi-process channel division (round-5) -----------------------
+    # the channel axis partitions across processes exactly like rx_power's
+    # hop axis: each process computes ONLY its contiguous channel slice
+    # (its own mixer columns / PFB DFT rows + tails; the shared
+    # capture-rate front replicates) and writes ONLY its channel files —
+    # zero cross-process communication, deterministic sources required
+    from rx_tools_tpu.parallel import multihost
+    multihost.init()
+    n_proc = multihost.process_count()
+    pid = 0
+    if n_proc > 1:
+        import jax as _jx0
+        pid = _jx0.process_index()
     deemph_a = 0
     if mode == "fm" and deemph_arg != "off":
         tc_us = {"us": 75, "eu": 50}.get(deemph_arg)
@@ -142,6 +156,7 @@ def main(argv=None) -> int:
         # reference computes it at the rate the filter runs, rtl_fm.c:1412)
         deemph_a = ops.deemph_alpha(channel_rate, tc_us)
 
+    chan_index0 = 0                   # global index of this process's ch 0
     if n_uniform:
         cfg = pfb.PfbConfig(capture_rate=rate, n_channels=n_uniform,
                             mode=mode, custom_atan=ops.disc_mode(atan),
@@ -151,24 +166,44 @@ def main(argv=None) -> int:
         state = pfb.init_state(cfg)
         step = pfb.pfb_step
         block_size = pfb.block_samples(cfg, target=block_target)
+        my_n = n_uniform
+        if n_proc > 1:
+            per = -(-n_uniform // n_proc)
+            chan_index0 = min(pid * per, n_uniform)
+            my_hi = min(chan_index0 + per, n_uniform)
+            my_n = my_hi - chan_index0
+            freqs = freqs[chan_index0:my_hi]
+            log("Multi-process channels: process %d/%d owns channels "
+                "%d..%d of %d.", pid, n_proc, chan_index0, my_hi - 1,
+                n_uniform)
         # round-5: the channel axis shards over local devices (zero
         # steady-state collectives, bit-identical — parallel/chanshard.py)
         import jax as _jax
-        want = (len(_jax.devices()) if dev_parallel <= 0
-                else min(dev_parallel, len(_jax.devices())))
+        local_devs = (_jax.local_devices() if n_proc > 1
+                      else _jax.devices())
+        want = (len(local_devs) if dev_parallel <= 0
+                else min(dev_parallel, len(local_devs)))
         n_mesh = 1
-        for cand in range(min(want, n_uniform), 0, -1):
-            if n_uniform % cand == 0:
+        for cand in range(min(want, my_n), 0, -1):
+            if my_n % cand == 0:
                 n_mesh = cand
                 break
-        if n_mesh > 1:
+        if n_mesh > 1 or n_proc > 1:
             from rx_tools_tpu.parallel import (make_mesh,
                                                channel_sharded_pfb_step)
-            mesh_c = make_mesh(n_mesh, axis="c")
+            mesh_c = make_mesh(n_mesh, axis="c", devices=local_devs)
+            rng_c = (chan_index0, chan_index0 + my_n)
+            state = pfb.PfbState(
+                tail=state.tail,
+                prev_iq=state.prev_iq[rng_c[0]: rng_c[1]],
+                deemph_avg=state.deemph_avg[rng_c[0]: rng_c[1]],
+                resamp=type(state.resamp)(
+                    state.resamp.acc[rng_c[0]: rng_c[1]],
+                    state.resamp.phase[rng_c[0]: rng_c[1]]))
 
-            def step(c, s, b, _m=mesh_c):
-                return channel_sharded_pfb_step(c, s, b, _m)
-            log("Sharding %d channels over %d devices.", n_uniform, n_mesh)
+            def step(c, s, b, _m=mesh_c, _r=rng_c):
+                return channel_sharded_pfb_step(c, s, b, _m, channels=_r)
+            log("Sharding %d channels over %d devices.", my_n, n_mesh)
         elif (os.environ.get("RX_PFB", "tmaj") == "tmaj"
               and mode != "raw"
               and (block_size // n_uniform) % 128 == 0):
@@ -187,6 +222,14 @@ def main(argv=None) -> int:
         if span > rate / 2:
             log("station %s is outside the capture bandwidth", max(stations))
             return 1
+        if n_proc > 1:
+            per = -(-len(stations) // n_proc)
+            chan_index0 = min(pid * per, len(stations))
+            my_hi = min(chan_index0 + per, len(stations))
+            stations = stations[chan_index0:my_hi]
+            offsets = offsets[chan_index0:my_hi]
+            log("Multi-process channels: process %d/%d owns stations "
+                "%d..%d.", pid, n_proc, chan_index0, my_hi - 1)
         cfg = channelizer.ChannelizerConfig(
             capture_rate=rate, offsets=offsets, downsample=decim,
             mode=mode, custom_atan=ops.disc_mode(atan), deemph_a=deemph_a,
@@ -220,10 +263,17 @@ def main(argv=None) -> int:
         # activation inside the suppression window too (rtl_fm.c:880)
         src.activate()
 
+    if n_proc > 1:
+        from rx_tools_tpu.iq.sources import FileSource, SynthSource
+        if not isinstance(src, (FileSource, SynthSource)):
+            log("multi-process rx_channels needs a deterministic "
+                "replayable source (file=/synth=).")
+            return 1
     os.makedirs(outdir, exist_ok=True)
     files = []
     for i, f in enumerate(freqs):
-        path = os.path.join(outdir, f"ch{i:02d}_{int(round(f))}.s16")
+        path = os.path.join(
+            outdir, f"ch{chan_index0 + i:02d}_{int(round(f))}.s16")
         files.append(open(path, "wb"))
     log("rx_channels: %d channels at %.0f S/s audio -> %s",
         len(freqs), float(rate_out2 if rate_out2 > 0 else channel_rate),

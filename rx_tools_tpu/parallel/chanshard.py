@@ -40,47 +40,58 @@ from rx_tools_tpu.ops.resample import ResampleState
 
 
 @functools.lru_cache(maxsize=32)
-def _dft_slices(d: int, n_dev: int) -> np.ndarray:
-    """(n_dev, 2*D/n, 2D) stacked per-shard row slices of the DFT matrix:
-    shard ``s`` gets the Re rows of its channels followed by their Im
-    rows, so its local dot output is exactly ``[zi_local; zq_local]``."""
+def _dft_slices(d: int, n_dev: int, lo: int = 0, hi: int | None = None
+                ) -> np.ndarray:
+    """(n_dev, 2*(hi-lo)/n, 2D) stacked per-shard row slices of the DFT
+    matrix for channels [lo, hi): shard ``s`` gets the Re rows of its
+    channels followed by their Im rows, so its local dot output is
+    exactly ``[zi_local; zq_local]``.  The default range is all D
+    channels; a sub-range serves multi-process channel partitions
+    (each process computes the replicated branch FIR + ONLY its own
+    channels' DFT rows and demod tails)."""
+    hi = d if hi is None else hi
     m = pfb._dft_matrix(d)                       # (2D, 2D)
-    dn = d // n_dev
+    dn = (hi - lo) // n_dev
     return np.stack([
-        np.concatenate([m[s * dn:(s + 1) * dn],
-                        m[d + s * dn: d + (s + 1) * dn]])
+        np.concatenate([m[lo + s * dn: lo + (s + 1) * dn],
+                        m[d + lo + s * dn: d + lo + (s + 1) * dn]])
         for s in range(n_dev)])
 
 
 def channel_sharded_pfb_step(cfg: pfb.PfbConfig, state: pfb.PfbState,
-                             block, mesh: Mesh):
-    """One wideband block -> D channels, channel axis sharded over mesh
-    axis ``c``.  Same contract and BIT-identical results as
-    ``pfb.pfb_step``; ``cfg.n_channels`` must divide by the mesh size."""
+                             block, mesh: Mesh, channels=None):
+    """One wideband block -> channel stack, channel axis sharded over
+    mesh axis ``c``.  Same contract and BIT-identical results as
+    ``pfb.pfb_step`` (restricted to ``channels=(lo, hi)`` when given —
+    the per-channel state leaves then have ``hi-lo`` rows and the
+    returned audio covers only those channels; the channel count must
+    divide by the mesh size)."""
     n_dev = mesh.devices.size
     d = cfg.n_channels
-    if d % n_dev:
-        raise ValueError(f"{d} channels do not shard over {n_dev} devices")
+    lo, hi = channels if channels is not None else (0, d)
+    if (hi - lo) % n_dev:
+        raise ValueError(
+            f"{hi - lo} channels do not shard over {n_dev} devices")
     sh2 = NamedSharding(mesh, P("c", None))
     sh1 = NamedSharding(mesh, P("c"))
     prev = jax.device_put(state.prev_iq, sh2)
     davg = jax.device_put(state.deemph_avg, sh1)
     racc = jax.device_put(state.resamp.acc, sh1)
     rph = jax.device_put(state.resamp.phase, sh1)
-    dfts = jax.device_put(jnp.asarray(_dft_slices(d, n_dev)),
+    dfts = jax.device_put(jnp.asarray(_dft_slices(d, n_dev, lo, hi)),
                           NamedSharding(mesh, P("c", None, None)))
-    tail, audio, nv, prev, davg, racc, rph = _sharded_step(cfg, mesh)(
-        state.tail, block, dfts, prev, davg, racc, rph)
+    tail, audio, nv, prev, davg, racc, rph = _sharded_step(
+        cfg, mesh, hi - lo)(state.tail, block, dfts, prev, davg, racc, rph)
     return (pfb.PfbState(tail=tail, prev_iq=prev, deemph_avg=davg,
                          resamp=ResampleState(racc, rph)),
             audio, nv)
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_step(cfg: pfb.PfbConfig, mesh: Mesh):
-    """Jitted shard_map step, cached per (cfg, mesh)."""
+def _sharded_step(cfg: pfb.PfbConfig, mesh: Mesh, n_chan: int | None = None):
+    """Jitted shard_map step, cached per (cfg, mesh, channel count)."""
     n_dev = mesh.devices.size
-    dn = cfg.n_channels // n_dev
+    dn = (cfg.n_channels if n_chan is None else n_chan) // n_dev
 
     def local(w, dfts, prev, davg, racc, rph):
         ch = jax.lax.dot_general(dfts[0], w, (((1,), (0,)), ((), ())),
