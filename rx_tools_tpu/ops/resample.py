@@ -481,6 +481,65 @@ def resample_rational(state: ResampleState, x, fast: int, slow: int):
             y, n_valid)
 
 
+def _resample_cm_periodic(state: ResampleState, x, fast: int, slow: int):
+    """Channel-major batched resampler via the exact emission periodicity
+    (``pos(k+slow) == pos(k)+fast``): ``x`` (C, M) -> ``y`` (C, cap).
+
+    The same one-mask MXU contraction as the PFB's time-major
+    ``_resample_tmaj_periodic`` (models/pfb.py), framed along axis 1 —
+    replaces the cumsum + (C, M) transposes + transposed-accumulator
+    gathers of :func:`resample_rational_batch` when the reduced ``fast``
+    is small.  Same emission grid, truncated divisor and carried-state
+    semantics; window sums associate differently (dot vs csum
+    difference), inside f32 noise.
+    """
+    import math as _m
+    g = _m.gcd(int(fast), int(slow))
+    fast, slow = int(fast) // g, int(slow) // g
+    c_ch, m = x.shape
+    cap = m * slow // fast + 2
+    divisor = jnp.float32(1.0 / (fast // slow))
+    w_max = fast // slow + 1
+    e = w_max + 1
+    assert e <= fast, (fast, slow)
+    phase0 = state.phase[0].astype(jnp.int32)
+    total = (phase0 + m * slow) // fast
+
+    g_frames = -(-(m + 1) // fast) + 1
+    pad_cols = g_frames * fast - m
+    xp = jnp.concatenate(
+        [jnp.zeros((c_ch, e), x.dtype), x,
+         jnp.zeros((c_ch, pad_cols), x.dtype)], axis=1)
+    main = xp[:, e:].reshape(c_ch, g_frames, fast)
+    look = xp[:, : g_frames * fast].reshape(c_ch, g_frames, fast)[:, :, :e]
+    frames = jnp.concatenate([look, main], axis=2)   # (C, G, fast+E)
+
+    j = jnp.arange(slow, dtype=jnp.int32)
+    posj = ((j + 1) * fast - phase0 + slow - 1) // slow - 1
+    posjp = (j * fast - phase0 + slow - 1) // slow - 1
+    i_rel = jnp.arange(fast + e, dtype=jnp.int32)[:, None] - e
+    s_mask = ((i_rel > posjp[None, :])
+              & (i_rel <= posj[None, :])).astype(x.dtype)
+
+    yg = jax.lax.dot_general(frames, s_mask, (((2,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)
+    y = yg.reshape(c_ch, g_frames * slow)[:, :cap]
+    kk = jnp.arange(cap)[None, :]
+    y = y + jnp.where(kk == 0, 1.0, 0.0) * state.acc[:, None]
+    y = jnp.where(kk < total, y * divisor, 0.0)
+
+    tail_cols = min(fast + e, m)
+    last_pos = jnp.clip((total * fast - phase0 + slow - 1) // slow - 1,
+                        -1, m - 1)
+    col_i = (jnp.arange(tail_cols, dtype=jnp.int32)[None, :]
+             + (m - tail_cols))
+    new_acc = jnp.sum(x[:, m - tail_cols:]
+                      * (col_i > last_pos).astype(x.dtype), axis=1)
+    new_phase = jnp.full((c_ch,), (phase0 + m * slow) % fast, jnp.int32)
+    return (ResampleState(new_acc.astype(jnp.float32), new_phase),
+            y, total.astype(jnp.int32))
+
+
 def resample_rational_batch(state: ResampleState, x, fast: int, slow: int):
     """Batched :func:`resample_rational` over a channel axis: ``x`` (C, N).
 
@@ -513,6 +572,16 @@ def resample_rational_batch(state: ResampleState, x, fast: int, slow: int):
     # channel and the windowed take lowers to a worse gather than the
     # shared-index row gather below.  The gather-free rows formulation
     # serves the FLAT path only.
+    # Round-5c TPU path: when the reduced ratio's frame is small, the
+    # periodic-mask MXU contraction replaces the cumsum + transposes +
+    # transposed-accumulator gathers entirely (see _resample_cm_periodic;
+    # the tmaj twin measured ~2x on the PFB step's resampler share).
+    _gg = _m.gcd(int(fast), int(slow))
+    _fr, _sr = int(fast) // _gg, int(slow) // _gg
+    _e = _fr // _sr + 2
+    if ((_ROWS_FORCE or jax.default_backend() == "tpu")
+            and not _ROWS_OFF and _fr + _e <= 512 and _e <= _fr):
+        return _resample_cm_periodic(state, x, fast, slow)
     cap = n * slow // fast + 2
     divisor = jnp.float32(1.0 / (fast // slow))
     fast, slow = int(fast) // g, int(slow) // g

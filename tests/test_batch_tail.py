@@ -55,3 +55,30 @@ def test_resample_batch_matches_vmap_over_blocks():
                                    rtol=1e-5, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(st_v.phase),
                                       np.asarray(st_b.phase))
+
+
+def test_cm_periodic_matches_general_batch():
+    """Round-5c: the periodic-mask channel-major resampler == the
+    cumsum/gather batch form while streaming (same grid/valid counts/
+    carried state; window sums reassociate within f32 noise)."""
+    from rx_tools_tpu.ops import resample as rs
+    import jax.numpy as jnp
+    rng = np.random.default_rng(51)
+    for fast, slow in ((37500, 32000), (150000, 32000), (48000, 32000)):
+        c = 8
+        st_a = rs.ResampleState(jnp.zeros((c,), jnp.float32),
+                                jnp.zeros((c,), jnp.int32))
+        st_b = st_a
+        for blk in range(3):
+            x = jnp.asarray(rng.normal(0, 5000, (c, 1024))
+                            .astype(np.float32))
+            st_a, ya, nva = rs._resample_cm_periodic(st_a, x, fast, slow)
+            st_b, yb, nvb = rs.resample_rational_batch(st_b, x, fast, slow)
+            assert int(nva) == int(nvb), (fast, slow, blk)
+            np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                                       rtol=1e-4, atol=0.5,
+                                       err_msg=f"{fast}/{slow} blk {blk}")
+            np.testing.assert_allclose(np.asarray(st_a.acc),
+                                       np.asarray(st_b.acc),
+                                       rtol=1e-4, atol=0.5)
+            assert int(st_a.phase[0]) == int(st_b.phase[0])
