@@ -280,6 +280,7 @@ def main(argv=None) -> int:
         outdir)
 
     import jax
+    import jax.numpy as jnp
     read_total = 0
     rc = 0
     pend = np.empty(0, np.int16)      # partial-block accumulator
@@ -292,6 +293,12 @@ def main(argv=None) -> int:
     chunk_cap = (int(os.environ.get("RX_CHANNELS_CHUNK", "8"))
                  if tmaj_layout else 1)
 
+    # device-side PCM quantization (same trunc(clip) as
+    # fmchain.audio_to_int16): the tunneled fetch was the measured CLI
+    # bottleneck (tools/clibench.py) — int16 halves the transfer
+    _to_i16 = jax.jit(lambda a: jnp.trunc(
+        jnp.clip(a, -32768, 32767)).astype(jnp.int16))
+
     def _emit(audio, n_valid, valid):
         if tmaj_layout:
             # time-major engine: audio is (cap, C) with one shared valid
@@ -301,9 +308,21 @@ def main(argv=None) -> int:
         frac = valid / block_size
         for i, fh in enumerate(files):
             keep = int(round(int(n_valid[i]) * frac))
-            fh.write(fmchain.audio_to_int16(audio[i, :keep]).tobytes())
+            fh.write(np.ascontiguousarray(audio[i, :keep]).tobytes())
 
-    try:
+    def _drain(pending):
+        if pending is None:
+            return
+        audio_d, nv_d, vals, batched = pending
+        audio_h, nv_h = jax.device_get((audio_d, nv_d))
+        if batched:
+            for j, valid in enumerate(vals):
+                _emit(audio_h[j], nv_h[j], valid)
+        else:
+            _emit(audio_h, nv_h, vals)
+
+    pending = None       # previous chunk's device handles: drained AFTER
+    try:                 # the next chunk is dispatched (fetch overlaps)
         while not do_exit[0] and not eof:
             fulls, valids = [], []
             while len(fulls) < chunk_cap and not do_exit[0]:
@@ -337,16 +356,17 @@ def main(argv=None) -> int:
             if tmaj_layout and len(fulls) > 1:
                 state, audio_b, nv_b = scan_step(cfg, state,
                                                  np.stack(fulls))
-                audio_b, nv_b = jax.device_get((audio_b, nv_b))
-                for j, valid in enumerate(valids):
-                    _emit(audio_b[j], nv_b[j], valid)
+                _drain(pending)          # fetch prev while this computes
+                pending = (_to_i16(audio_b), nv_b, list(valids), True)
             else:
                 for j, valid in enumerate(valids):
                     state, audio, n_valid = step(cfg, state, fulls[j])
-                    audio, n_valid = jax.device_get((audio, n_valid))
-                    _emit(audio, n_valid, valid)
+                    _drain(pending)
+                    pending = (_to_i16(audio), n_valid, valid, False)
             if exit_s and read_total >= exit_s * rate:
                 break
+        _drain(pending)
+        pending = None
     finally:
         src.deactivate()
         src.close()
