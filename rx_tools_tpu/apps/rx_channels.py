@@ -11,7 +11,11 @@ Two engines:
 
 Each channel's audio is written to ``<outdir>/chNN_<freq>.s16`` (16-bit
 PCM, same sample format as rx_fm's output).  Device flags mirror the
-other tools (`-d -f -s -g -p -a`).
+other tools (`-d -f -s -g -p -a`).  Scaling: ``-t N`` shards the PFB
+channel axis over local devices (parallel/chanshard.py), and a
+multi-process job (JAX_COORDINATOR_ADDRESS/...) divides the channel
+axis across processes with zero cross-process communication — each
+process computes and writes only its own channels.
 
     # all 64 FM-band channels of a 2.4 Msps capture, 32 kHz audio each
     rx_channels -f 98M -s 2.4M -n 64 -M fm -A fast -c us -r 32k \\
