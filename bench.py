@@ -322,6 +322,58 @@ def main():
 
     pfb_rate = measure_pfb()
 
+    # ---- secondary metric 3: the arbitrary-offset mixer channelizer ----
+    # (beyond-reference; time-major mix-folded-into-decimator engine,
+    # models/channelizer.py round-5)
+    def measure_mixer():
+        from rx_tools_tpu.models import channelizer as chan
+        rngm = np.random.default_rng(5)
+        offs = tuple(float(v) for v in rngm.choice(
+            np.arange(-1_100_000, 1_100_000, 1000), 64, replace=False))
+        mcfg = chan.ChannelizerConfig(
+            capture_rate=RATE_IN_CAPTURE, offsets=offs, downsample=16,
+            mode="fm", custom_atan=1, deemph_a=7, rate_out2=32_000)
+        nb = chan.block_samples(mcfg, target=131072)
+        MCH, MK1, MK2 = 4, 1, 13
+        pool = jax.device_put(rngm.integers(
+            -16000, 16000, (MK2 * MCH, 2 * nb)).astype(np.int16))
+        st0 = chan.init_state_tmaj(mcfg)
+
+        def make(n_passes):
+            @jax.jit
+            def run(args):
+                st, p = args
+                acc = jnp.zeros(())
+                for r in range(n_passes):
+                    for c in range(MCH):
+                        st, audio, nv = chan.channelize_step_tmaj(
+                            mcfg, st, p[r * MCH + c])
+                        acc = (acc + jnp.sum(audio)
+                               + nv.astype(jnp.float32))
+                return acc + st.deemph_avg.sum()
+            return run
+
+        per_pass = MCH * 2 * nb * 2.0
+        r1, r2 = make(MK1), make(MK2)
+        float(r1((st0, pool))); float(r2((st0, pool)))
+        good = []
+        for _ in range(7):
+            if len(good) >= 3:
+                break
+            t1s, t2s = [], []
+            for _ in range(10):
+                t0 = time.perf_counter(); float(r1((st0, pool)))
+                t1s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter(); float(r2((st0, pool)))
+                t2s.append(time.perf_counter() - t0)
+            dt = (statistics.median(t2s) - statistics.median(t1s)) / (MK2 - MK1)
+            v = per_pass / dt if dt > 0 else 0.0
+            if 0.0 < v < (ceiling * 1.25 if ceiling else float("inf")):
+                good.append(v)
+        return statistics.median(good) if good else 0.0
+
+    mixer_rate = measure_mixer()
+
     # two equivalent engines (golden-tested identical): the per-block
     # traced-loop engine and the scan-free flat formulation
     # (models/fmchunk.py); report the better of the two on this chip/run.
@@ -374,6 +426,9 @@ def main():
         "fft_gcsps": round(fft_rate / 1e9, 2),
         "pfb_step_gbs": round(pfb_rate / 1e9, 2),
         "channel_rt_equiv": round(pfb_rate / 4.0 / RATE_IN_CAPTURE * 64, 0),
+        "mixer_step_gbs": round(mixer_rate / 1e9, 2),
+        "mixer_rt_equiv": round(
+            mixer_rate / 4.0 / RATE_IN_CAPTURE * 64, 0),
     }))
     print(f"# engine={engine} block={n} chunk={blocks_per_chunk} "
           f"backend={jax.default_backend()} "
