@@ -416,6 +416,16 @@ def main():
         "engine": engine,
         "rounds_gsps": grounds,
         "spread_gsps": [min(grounds), max(grounds)] if grounds else [],
+        # rounds whose implied read rate exceeds 1.5x the measured
+        # same-session STREAM ceiling are kept in the median (the hard
+        # gate is the fori ceiling) but flagged: either the chip's state
+        # moved far past where the ceiling was measured, or the
+        # K-differenced marginal straddled a state change — interpret
+        # with the per-round list (round-5: one wild session medianed AT
+        # its ceiling with 6-131 G rounds)
+        "suspect_rounds_gsps": [
+            g for g in grounds
+            if stream_ceiling and g * 4e9 > stream_ceiling * 1.5],
         "rejected_rounds": {k: [round(x / 1e9, 2) for x in v]
                             for k, v in rejects.items() if v},
         "all_engines_gsps": {k: round(v / 1e9, 2)
