@@ -150,3 +150,52 @@ def test_mixer_tmaj_recovers_fm_station():
     spec = np.abs(np.fft.rfft((a - a.mean()) * np.hanning(a.size)))
     pk = np.fft.rfftfreq(a.size, 1 / 32000)[np.argmax(spec[1:]) + 1]
     assert abs(pk - 1000.0) < 20
+
+
+def test_fuzz_channelizer_engines():
+    """Differential fuzz: random mixer configs through the channel-major
+    and time-major engines on structured scenes (an FM carrier near every
+    station) must agree — catches phase/seam/ratio interactions across
+    the (offsets x D x mode x deemph x resample) space."""
+    import jax.numpy as jnp
+    from rx_tools_tpu.models import channelizer as chan
+    rng = np.random.default_rng(77)
+    fs = 1_024_000
+    for trial in range(12):
+        d = int(rng.choice([8, 16, 32]))
+        n_ch = int(rng.integers(2, 5))
+        offs = tuple(float(v) for v in rng.choice(
+            np.arange(-fs // 2 + 30000, fs // 2 - 30000, 1000),
+            n_ch, replace=False))
+        mode = str(rng.choice(["fm", "fm", "am", "usb", "lsb"]))
+        cfg = chan.ChannelizerConfig(
+            capture_rate=fs, offsets=offs, downsample=d, mode=mode,
+            custom_atan=int(rng.choice([0, 1, 3])) if mode == "fm" else 0,
+            deemph_a=int(rng.choice([0, 7])) if mode == "fm" else 0,
+            rate_out2=int(rng.choice([-1, 32000, 24000])))
+        n = chan.block_samples(cfg, target=16384)
+        if (n // d) % 128 or not chan.tmaj_supported(cfg, n):
+            continue
+        t = np.arange(2 * n)
+        z = np.zeros(2 * n, np.complex128)
+        for off in offs:
+            au = np.sin(2 * np.pi * (500 + abs(off) % 800) * t / fs)
+            ph = (2 * np.pi * off * t / fs
+                  + 2 * np.pi * 9e3 * np.cumsum(au) / fs)
+            z += 35 * np.exp(1j * ph)
+        z += rng.normal(0, 0.3, 2 * n) + 1j * rng.normal(0, 0.3, 2 * n)
+        iq = np.empty(4 * n, np.int16)
+        iq[0::2] = np.round(np.real(z) * 64)
+        iq[1::2] = np.round(np.imag(z) * 64)
+        st_cm, st_tm = chan.init_state(cfg), chan.init_state_tmaj(cfg)
+        for b in range(2):
+            blk = jnp.asarray(iq[b * 2 * n: (b + 1) * 2 * n])
+            st_cm, a_cm, nv_cm = chan.channelize_step(cfg, st_cm, blk)
+            st_tm, a_tm, nv_tm = chan.channelize_step_tmaj(cfg, st_tm, blk)
+            assert int(nv_cm[0]) == int(nv_tm), (trial, b, cfg)
+            got = np.asarray(a_tm).T[:, : int(nv_tm)]
+            want = np.asarray(a_cm)[:, : int(nv_tm)]
+            scale = max(1.0, float(np.abs(want).max()))
+            np.testing.assert_allclose(
+                got / scale, want / scale, rtol=2e-3, atol=6e-3,
+                err_msg=f"trial {trial} blk {b} {cfg}")
