@@ -219,3 +219,40 @@ def test_resample_tmaj_periodic_matches_general():
                                        np.asarray(st_b.acc),
                                        rtol=1e-4, atol=0.5)
             assert int(st_a.phase[0]) == int(st_b.phase[0])
+
+
+def test_fuzz_pfb_engines():
+    """Differential fuzz: random PFB configs through the channel-major
+    and time-major engines on structured scenes must agree (tmaj layout/
+    association only) — breadth beyond the hand-picked configs."""
+    from rx_tools_tpu.models import pfb as _pfb
+    rng = np.random.default_rng(99)
+    for trial in range(10):
+        d_ch = int(rng.choice([8, 16, 32]))
+        mode = str(rng.choice(["fm", "fm", "am", "usb"]))
+        cfg = _pfb.PfbConfig(
+            capture_rate=FS, n_channels=d_ch,
+            taps_per_branch=int(rng.choice([4, 8])),
+            mode=mode,
+            custom_atan=int(rng.choice([0, 1, 3])) if mode == "fm" else 0,
+            deemph_a=int(rng.choice([0, 7])) if mode == "fm" else 0,
+            rate_out2=int(rng.choice([-1, 32000])))
+        n = _pfb.block_samples(cfg, target=16384)
+        if (n // d_ch) % 128:
+            continue
+        k_on = int(rng.integers(0, d_ch))
+        blk0 = _tone_block(2 * n, (k_on if k_on < d_ch / 2 else k_on - d_ch)
+                           * FS / d_ch, amp=80, fm_audio=700, seed=trial,
+                           noise=0.4)
+        st_cm, st_tm = _pfb.init_state(cfg), _pfb.init_state_tmaj(cfg)
+        for b in range(2):
+            blk = jnp.asarray(blk0[b * 2 * n: (b + 1) * 2 * n])
+            st_cm, a_cm, nv_cm = _pfb.pfb_step(cfg, st_cm, blk)
+            st_tm, a_tm, nv_tm = _pfb.pfb_step_tmaj(cfg, st_tm, blk)
+            assert int(nv_cm[0]) == int(nv_tm), (trial, b, cfg)
+            got = np.asarray(a_tm).T[:, : int(nv_tm)]
+            want = np.asarray(a_cm)[:, : int(nv_tm)]
+            scale = max(1.0, float(np.abs(want).max()))
+            np.testing.assert_allclose(
+                got / scale, want / scale, rtol=2e-3, atol=6e-3,
+                err_msg=f"trial {trial} blk {b} {cfg}")
