@@ -75,7 +75,10 @@ def test_rows_blocks_bitwise_equals_sequential():
     import jax.numpy as jnp
     rng = np.random.default_rng(17)
     for fast, slow, n, m in ((42857, 8000, 1536, 5), (85, 16, 1280, 7),
-                             (75, 64, 2048, 3), (3, 1, 896, 4)):
+                             (75, 64, 2048, 3), (3, 1, 896, 4),
+                             (32000, 32000, 1280, 4),    # ratio 1 edge
+                             (32001, 32000, 1280, 4),    # near-1 edge
+                             (131, 128, 1280, 4)):
         x = rng.normal(0, 9000, (m, n)).astype(np.float32)
         st = rs.ResampleState(jnp.float32(rng.normal() * 100),
                               jnp.int32(rng.integers(0, 5)))
