@@ -201,7 +201,8 @@ def test_resample_tmaj_periodic_matches_general():
     reassociate within f32 noise) while streaming."""
     from rx_tools_tpu.ops.resample import ResampleState
     rng = np.random.default_rng(41)
-    for fast, slow in ((37500, 32000), (48000, 32000), (75000, 32000)):
+    for fast, slow in ((37500, 32000), (48000, 32000), (75000, 32000),
+                       (3, 2), (5, 4), (256, 255)):   # gate-edge ratios
         d_ch = 16
         st_a = ResampleState(jnp.zeros((d_ch,), jnp.float32),
                              jnp.zeros((d_ch,), jnp.int32))
